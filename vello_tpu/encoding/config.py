@@ -1,0 +1,95 @@
+"""Render configuration, capacity tiers and buffer sizing.
+
+Covers the roles of ``vello_encoding/src/config.rs`` (grid + buffer sizing,
+``BumpAllocators`` capacities) and ``estimate.rs`` (``BumpEstimator``) in the
+reference. On TPU there are no bump allocators: every stage writes into a
+fixed-capacity buffer whose size is a *tier* (power-of-two bucket) chosen
+per frame by the host-side estimator, so XLA compiles one program per tier
+and recompiles are rare (SURVEY.md §7 architecture stance).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Tuple
+
+TILE_W = 16
+TILE_H = 16
+
+# Flattening tolerance in device pixels (sparse-strips uses 0.25,
+# vello_common/src/flatten.rs:16-19; classic uses 0.01 per-segment scaled).
+FLATTEN_TOL = 0.25
+
+# Hard cap on lines emitted per path segment on the device (pathological
+# segments beyond this render slightly coarser rather than overflowing).
+MAX_LINES_PER_SEG = 64
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+@dataclass(frozen=True)
+class Capacities:
+    """Static buffer capacities — the shape signature of the jitted pipeline.
+
+    Mirrors the reference's BumpAllocators buffer set (config.rs:398-408):
+    lines ~ 2^21, seg_counts (our touches) ~ 2^21, tiles (our path-tiles)
+    ~ 2^21 at the top tier.
+    """
+
+    n_tags: int = 1 << 12        # path tag stream length
+    n_points: int = 1 << 13      # path data points
+    n_segs: int = 1 << 12        # path segments
+    n_lines: int = 1 << 14       # flattened LineSoup
+    n_touches: int = 1 << 16     # (line, tile) touch records
+    n_path_tiles: int = 1 << 14  # Σ per-path clamped-bbox tile counts
+    n_paths: int = 1 << 10
+    n_transforms: int = 1 << 10
+    n_styles: int = 1 << 8
+    n_ramps: int = 1 << 5
+
+    def key(self) -> Tuple[int, ...]:
+        return (self.n_tags, self.n_points, self.n_segs, self.n_lines,
+                self.n_touches, self.n_path_tiles, self.n_paths,
+                self.n_transforms, self.n_styles, self.n_ramps)
+
+
+def tier_for(n_tags: int, n_points: int, n_segs: int, est_lines: int,
+             est_touches: int, est_path_tiles: int, n_paths: int,
+             n_transforms: int, n_styles: int, n_ramps: int) -> Capacities:
+    """Pick the smallest power-of-two tier covering the estimates."""
+    def up(n, lo):
+        return max(lo, next_pow2(max(int(n), 1)))
+
+    return Capacities(
+        n_tags=up(n_tags, 256),
+        n_points=up(n_points, 256),
+        n_segs=up(n_segs, 256),
+        n_lines=up(est_lines, 1024),
+        n_touches=up(est_touches, 2048),
+        n_path_tiles=up(est_path_tiles, 1024),
+        n_paths=up(n_paths, 64),
+        n_transforms=up(n_transforms, 64),
+        n_styles=up(n_styles, 16),
+        n_ramps=up(n_ramps, 4),
+    )
+
+
+@dataclass(frozen=True)
+class RenderParams:
+    """Per-frame parameters (reference: vello/src/lib.rs:354-369)."""
+
+    width: int
+    height: int
+    base_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    antialiasing: str = "area"   # "area" | "msaa8" | "msaa16"
+
+    @property
+    def width_tiles(self) -> int:
+        return (self.width + TILE_W - 1) // TILE_W
+
+    @property
+    def height_tiles(self) -> int:
+        return (self.height + TILE_H - 1) // TILE_H

@@ -1,0 +1,334 @@
+"""Late binding: resolve brushes to ramp LUTs / image atlas, build per-path
+paint tables, and estimate capacity tiers.
+
+Covers the roles of ``vello_encoding/src/resolve.rs`` (Resolver),
+``ramp_cache.rs`` (gradient LUTs), ``image_cache.rs`` (atlas) and
+``estimate.rs`` (BumpEstimator) in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..kurbo import Affine
+from ..peniko import (BlendMode, Color, Compose, Extend, Fill, Gradient,
+                      Image, ImageQuality, Mix)
+from .config import (Capacities, FLATTEN_TOL, MAX_LINES_PER_SEG, TILE_H,
+                     TILE_W, RenderParams, tier_for)
+from .encoding import (DRAW_BEGIN_LAYER, DRAW_BLUR_RECT, DRAW_COLOR,
+                       DRAW_END_LAYER, DRAW_GRADIENT, DRAW_IMAGE, Encoding,
+                       decode_segments)
+from ..ops.paint import RAMP_WIDTH, make_ramp, pack_gradient
+
+# paint kinds (per-path table)
+PAINT_COLOR = 0
+PAINT_GRADIENT = 1
+PAINT_IMAGE = 2
+PAINT_BLUR_RECT = 3
+
+
+@dataclass
+class LayerInfo:
+    """Oracle-facing layer record (draw-stream order)."""
+    draw_ix: int
+    mix: int
+    compose: int
+    alpha: float
+    clip_path_ix: int  # -1 if no clip shape
+    fill_rule: int
+
+
+@dataclass
+class ResolvedScene:
+    """Everything the pipelines need, as numpy arrays."""
+
+    # path streams
+    tags: np.ndarray          # (T,) u8
+    data: np.ndarray          # (Pt, 2) f32
+    transforms: np.ndarray    # (N, 6) f32
+    styles: np.ndarray        # (S,) i32
+    n_paths: int
+    n_segs: int
+    # draw stream (per draw record)
+    draw_kind: np.ndarray     # (D,) i32
+    draw_path_ix: np.ndarray  # (D,) i32, -1 when no geometry
+    layers: List[LayerInfo]
+    # per-path tables (P entries)
+    paint_kind: np.ndarray    # (P,) i32
+    fill_rule: np.ndarray     # (P,) i32
+    color: np.ndarray         # (P, 4) premultiplied f32
+    grad_rec: np.ndarray      # (P, 12) f32
+    paint_inv: np.ndarray     # (P, 6) f32 inverse paint transform
+    image_rec: np.ndarray     # (P, 8) f32: atlas x,y,w,h, xext, yext, qual, alpha
+    blur_rec: np.ndarray      # (P, 8) f32: x0,y0,x1,y1, radius, std_dev
+    path_kind: np.ndarray     # (P,) i32: 0 draw, 1 clip-begin
+    # resources
+    ramps: np.ndarray         # (R, 512, 4) straight f32
+    atlas: np.ndarray         # (Ha, Wa, 4) premultiplied f32
+    # estimator results
+    est_lines: int = 0
+    est_touches: int = 0
+    est_path_tiles: int = 0
+
+    def capacities(self, params: RenderParams) -> Capacities:
+        return tier_for(
+            n_tags=len(self.tags), n_points=len(self.data),
+            n_segs=self.n_segs, est_lines=self.est_lines,
+            est_touches=self.est_touches,
+            est_path_tiles=self.est_path_tiles, n_paths=self.n_paths,
+            n_transforms=len(self.transforms), n_styles=len(self.styles),
+            n_ramps=max(len(self.ramps), 1))
+
+
+class RampCache:
+    """Gradient-stop dedup cache -> LUT rows (ramp_cache.rs analog)."""
+
+    def __init__(self):
+        self._map: Dict[tuple, int] = {}
+        self._ramps: List[np.ndarray] = []
+
+    def add(self, stops) -> int:
+        key = tuple((s.offset, s.color.r, s.color.g, s.color.b, s.color.a)
+                    for s in stops)
+        if key in self._map:
+            return self._map[key]
+        ix = len(self._ramps)
+        self._ramps.append(make_ramp(stops))
+        self._map[key] = ix
+        return ix
+
+    def array(self) -> np.ndarray:
+        if not self._ramps:
+            return np.zeros((1, RAMP_WIDTH, 4), dtype=np.float32)
+        return np.stack(self._ramps)
+
+
+class ImageAtlas:
+    """Shelf-packed RGBA atlas (image_cache.rs / multi_atlas.rs analog)."""
+
+    def __init__(self, width: int = 1024):
+        self.width = width
+        self.shelves: List[List[int]] = []  # [y, height, cursor_x]
+        self.height = 0
+        self.entries: Dict[int, Tuple[int, int, int, int]] = {}
+        self.images: List[Tuple[Image, Tuple[int, int]]] = []
+
+    def add(self, img: Image) -> Tuple[int, int, int, int]:
+        key = id(img.data)
+        if key in self.entries:
+            return self.entries[key]
+        h, w = img.data.shape[:2]
+        # find a shelf
+        pos = None
+        for shelf in self.shelves:
+            if shelf[1] >= h and shelf[2] + w <= self.width:
+                pos = (shelf[2], shelf[0])
+                shelf[2] += w
+                break
+        if pos is None:
+            y = self.height
+            self.shelves.append([y, h, w])
+            self.height += h
+            pos = (0, y)
+        self.entries[key] = (pos[0], pos[1], w, h)
+        self.images.append((img, pos))
+        return self.entries[key]
+
+    def array(self) -> np.ndarray:
+        if not self.images:
+            return np.zeros((1, 1, 4), dtype=np.float32)
+        out = np.zeros((self.height, self.width, 4), dtype=np.float32)
+        for img, (x, y) in self.images:
+            h, w = img.data.shape[:2]
+            rgba = img.data.astype(np.float32) / 255.0
+            rgba[..., :3] *= rgba[..., 3:4]  # premultiply
+            out[y:y + h, x:x + w] = rgba
+        return out
+
+
+def _estimate(decoded, transforms, params: RenderParams):
+    """Host-side capacity estimation (BumpEstimator analog, estimate.rs).
+
+    Uses Wang-bound line counts and control-polygon length bounds; all
+    vectorised numpy over the segment arrays.
+    """
+    pts = decoded["points"].astype(np.float64)      # (S, 4, 2)
+    kind = decoded["kind"]
+    t = decoded["transform"].astype(np.float64)     # (S, 6)
+    n = len(kind)
+    if n == 0:
+        return 0, 0, 0
+    # Transform control points.
+    x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] + t[:, None, 4]
+    y = pts[..., 0] * t[:, None, 1] + pts[..., 1] * t[:, None, 3] + t[:, None, 5]
+    tp = np.stack([x, y], axis=-1)
+    # Wang counts (same math as the device flatten).
+    d1 = tp[:, 0] - 2 * tp[:, 1] + tp[:, 2]
+    d2 = tp[:, 1] - 2 * tp[:, 2] + tp[:, 3]
+    l_quad = 2.0 * np.hypot(d1[:, 0], d1[:, 1])
+    l_cub = 6.0 * np.maximum(np.hypot(d1[:, 0], d1[:, 1]),
+                             np.hypot(d2[:, 0], d2[:, 1]))
+    l = np.where(kind == 3, l_cub, np.where(kind == 2, l_quad, 0.0))
+    counts = np.ceil(np.sqrt(l / (8.0 * FLATTEN_TOL)))
+    counts = np.clip(counts, 1, MAX_LINES_PER_SEG).astype(np.int64)
+    counts = np.where(kind == 1, 1, counts)
+    est_lines = int(counts.sum())
+    # Touch bound: per line ≤ 2 + (|dx|+|dy|)/T; summed via control-polygon
+    # length (an upper bound on arc length).
+    npts = kind + 1
+    seg_len = np.zeros(n)
+    for i in range(3):
+        valid = npts > i + 1
+        d = tp[:, i + 1] - tp[:, i]
+        seg_len += np.where(valid, np.abs(d[:, 0]) + np.abs(d[:, 1]), 0.0)
+    est_touches = int((2 * counts).sum() + (seg_len / TILE_W).sum()) + 16
+    # Path-tile bound: per-path clamped bbox area in tiles.
+    path_ix = decoded["path_ix"]
+    n_paths = decoded["n_paths"]
+    big = 1e30
+    minx = np.full(n_paths + 1, big)
+    miny = np.full(n_paths + 1, big)
+    maxx = np.full(n_paths + 1, -big)
+    maxy = np.full(n_paths + 1, -big)
+    for i in range(4):
+        valid = npts > i
+        vx = np.where(valid, tp[:, i, 0], big)
+        vy = np.where(valid, tp[:, i, 1], big)
+        np.minimum.at(minx, path_ix, vx)
+        np.minimum.at(miny, path_ix, vy)
+        vx = np.where(valid, tp[:, i, 0], -big)
+        vy = np.where(valid, tp[:, i, 1], -big)
+        np.maximum.at(maxx, path_ix, vx)
+        np.maximum.at(maxy, path_ix, vy)
+    tx0 = np.clip(np.floor(minx[:n_paths] / TILE_W), 0, params.width_tiles)
+    ty0 = np.clip(np.floor(miny[:n_paths] / TILE_H), 0, params.height_tiles)
+    tx1 = np.clip(np.ceil(maxx[:n_paths] / TILE_W), 0, params.width_tiles)
+    ty1 = np.clip(np.ceil(maxy[:n_paths] / TILE_H), 0, params.height_tiles)
+    areas = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
+    est_path_tiles = int(areas.sum()) + n_paths
+    return est_lines, est_touches, est_path_tiles
+
+
+def resolve(encoding: Encoding, params: RenderParams) -> ResolvedScene:
+    tags, data, transforms, styles = encoding.packed_streams()
+    decoded = decode_segments(tags, data, transforms, styles)
+    n_paths = encoding.n_paths
+
+    # per-path transform index (first segment of each path wins)
+    path_trans = np.zeros(max(n_paths, 1), dtype=np.int64)
+    if len(decoded["path_ix"]):
+        first = np.full(n_paths, -1, dtype=np.int64)
+        pix = decoded["path_ix"]
+        # first occurrence of each path index
+        rev = pix[::-1]
+        idx = len(pix) - 1 - np.arange(len(pix))[::-1]
+        del rev, idx
+        seen = {}
+        for i, p in enumerate(pix):
+            if p not in seen:
+                seen[p] = i
+        for p, i in seen.items():
+            first[p] = i
+        tmats = decoded["transform"]
+        path_tmat = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
+                            (max(n_paths, 1), 1))
+        for p in range(n_paths):
+            if first[p] >= 0:
+                path_tmat[p] = tmats[first[p]]
+    else:
+        path_tmat = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
+                            (max(n_paths, 1), 1))
+
+    ramp_cache = RampCache()
+    atlas = ImageAtlas()
+
+    P = max(n_paths, 1)
+    paint_kind = np.zeros(P, dtype=np.int32)
+    fill_rule = np.zeros(P, dtype=np.int32)
+    color = np.zeros((P, 4), dtype=np.float32)
+    grad_rec = np.zeros((P, 12), dtype=np.float32)
+    paint_inv = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), (P, 1))
+    image_rec = np.zeros((P, 8), dtype=np.float32)
+    blur_rec = np.zeros((P, 8), dtype=np.float32)
+    path_kind = np.zeros(P, dtype=np.int32)
+
+    draw_kind = np.zeros(max(len(encoding.draws), 1), dtype=np.int32)
+    draw_path_ix = np.full(max(len(encoding.draws), 1), -1, dtype=np.int32)
+    layers: List[LayerInfo] = []
+
+    # Per-path fill rule from the style stream via first segment.
+    seg_path = decoded["path_ix"]
+    seg_fill = decoded["fill_rule"]
+    for p in range(n_paths):
+        m = seg_path == p
+        if m.any():
+            fill_rule[p] = seg_fill[np.argmax(m)]
+
+    path_cursor = 0
+    for d, rec in enumerate(encoding.draws):
+        draw_kind[d] = rec.kind
+        if rec.kind == DRAW_END_LAYER:
+            layers.append(LayerInfo(d, 0, 0, 1.0, -1, 0))
+            continue
+        if rec.kind == DRAW_BEGIN_LAYER:
+            clip_ix = -1
+            if rec.has_path:
+                clip_ix = path_cursor
+                path_kind[clip_ix] = 1
+                draw_path_ix[d] = clip_ix
+                path_cursor += 1
+            blend = rec.blend or BlendMode()
+            layers.append(LayerInfo(d, int(blend.mix), int(blend.compose),
+                                    rec.alpha, clip_ix, rec.fill_rule))
+            continue
+        # geometric draw
+        p = path_cursor
+        path_cursor += 1
+        draw_path_ix[d] = p
+        tmat = Affine(tuple(float(v) for v in path_tmat[p]))
+        brush_t = tmat if rec.brush_transform is None \
+            else tmat @ rec.brush_transform
+        if rec.kind == DRAW_BLUR_RECT:
+            paint_kind[p] = PAINT_BLUR_RECT
+            c = rec.brush if isinstance(rec.brush, Color) else Color(0, 0, 0)
+            color[p] = c.premultiplied()
+            blur_rec[p, 0:4] = rec.blur_rect
+            blur_rec[p, 4] = rec.blur_radius
+            blur_rec[p, 5] = rec.blur_std_dev
+            paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
+                                      dtype=np.float32)
+        elif isinstance(rec.brush, Color):
+            paint_kind[p] = PAINT_COLOR
+            color[p] = rec.brush.premultiplied()
+        elif isinstance(rec.brush, Gradient):
+            paint_kind[p] = PAINT_GRADIENT
+            row = ramp_cache.add(rec.brush.stops)
+            grad_rec[p] = pack_gradient(rec.brush, row)
+            paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
+                                      dtype=np.float32)
+        elif isinstance(rec.brush, Image):
+            paint_kind[p] = PAINT_IMAGE
+            img = rec.brush
+            x, y, w, h = atlas.add(img)
+            image_rec[p] = [x, y, w, h, int(img.x_extend),
+                            int(img.y_extend), int(img.quality), img.alpha]
+            paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
+                                      dtype=np.float32)
+
+    est_lines, est_touches, est_path_tiles = _estimate(
+        decoded, transforms, params)
+
+    return ResolvedScene(
+        tags=tags, data=data, transforms=transforms, styles=styles,
+        n_paths=n_paths, n_segs=encoding.n_path_segments,
+        draw_kind=draw_kind, draw_path_ix=draw_path_ix, layers=layers,
+        paint_kind=paint_kind, fill_rule=fill_rule, color=color,
+        grad_rec=grad_rec, paint_inv=paint_inv, image_rec=image_rec,
+        blur_rec=blur_rec, path_kind=path_kind,
+        ramps=ramp_cache.array(), atlas=atlas.array(),
+        est_lines=est_lines, est_touches=est_touches,
+        est_path_tiles=est_path_tiles)

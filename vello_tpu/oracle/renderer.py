@@ -1,0 +1,329 @@
+"""CPU oracle renderer — the exact-pixel reference implementation.
+
+Plays the role of ``vello_cpu`` / the CPU shader ports in the reference's test
+strategy (SURVEY.md §4.3, ``doc/ARCHITECTURE.md:81-89``): a slow, simple,
+*independent* implementation the TPU pipeline is differentially tested
+against.
+
+Deliberately different formulation from the device pipeline: coverage is
+computed with the classic signed-area scanline accumulation algorithm
+(split edges at integer y then integer x; each sub-pixel piece contributes
+``dy*(1-xbar)`` / ``dy*xbar`` to two accumulation cells; prefix-sum along x
+gives winding) rather than the device's tile/touch/sort formulation. Both
+compute exact-area antialiasing, so agreement is a strong correctness check.
+
+Flattening, paint and blend math ARE shared with the device (same modules),
+so flatten output and paint sampling match bit-for-bit where possible.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..encoding.config import FLATTEN_TOL, MAX_LINES_PER_SEG, RenderParams
+from ..encoding.encoding import (DRAW_BEGIN_LAYER, DRAW_END_LAYER,
+                                 decode_segments)
+from ..encoding.resolve import (PAINT_BLUR_RECT, PAINT_COLOR, PAINT_GRADIENT,
+                                PAINT_IMAGE, ResolvedScene, resolve)
+from ..peniko import Compose, Fill, Mix
+from ..ops import blend as blend_ops
+from ..ops import paint as paint_ops
+from ..ops.blur import blurred_rounded_rect_coverage
+from ..scene import Scene
+
+
+# ---------------------------------------------------------------------------
+# Shared flatten math (numpy mirror of ops/flatten.py — identical formulas)
+
+
+def elevate_to_cubic(points: np.ndarray, kind: np.ndarray) -> np.ndarray:
+    """Degree-elevate lines/quads to cubics. points (S,4,2), kind (S,)."""
+    p0 = points[:, 0]
+    out = np.empty_like(points)
+    out[:, 0] = p0
+    # line: p1 slot holds the end point
+    line_p1 = points[:, 1]
+    quad_c, quad_p2 = points[:, 1], points[:, 2]
+    cub = points
+    k = kind[:, None]
+    c1 = np.where(k == 1, p0 + (line_p1 - p0) / 3.0,
+                  np.where(k == 2, p0 + 2.0 / 3.0 * (quad_c - p0), cub[:, 1]))
+    c2 = np.where(k == 1, p0 + 2.0 / 3.0 * (line_p1 - p0),
+                  np.where(k == 2, quad_p2 + 2.0 / 3.0 * (quad_c - quad_p2),
+                           cub[:, 2]))
+    p3 = np.where(k == 1, line_p1, np.where(k == 2, quad_p2, cub[:, 3]))
+    out[:, 1] = c1
+    out[:, 2] = c2
+    out[:, 3] = p3
+    return out
+
+
+def wang_counts(cubics: np.ndarray, kind: np.ndarray, tol: float,
+                max_lines: int) -> np.ndarray:
+    d1 = cubics[:, 0] - 2 * cubics[:, 1] + cubics[:, 2]
+    d2 = cubics[:, 1] - 2 * cubics[:, 2] + cubics[:, 3]
+    m = 6.0 * np.maximum(np.hypot(d1[..., 0], d1[..., 1]),
+                         np.hypot(d2[..., 0], d2[..., 1]))
+    n = np.ceil(np.sqrt(np.maximum(m, 0.0) / (8.0 * tol)))
+    n = np.clip(n, 1, max_lines).astype(np.int64)
+    return np.where(kind == 1, 1, n)
+
+
+def transform_points(points: np.ndarray, tmat: np.ndarray) -> np.ndarray:
+    x = (points[..., 0] * tmat[:, None, 0] + points[..., 1] * tmat[:, None, 2]
+         + tmat[:, None, 4])
+    y = (points[..., 0] * tmat[:, None, 1] + points[..., 1] * tmat[:, None, 3]
+         + tmat[:, None, 5])
+    return np.stack([x, y], axis=-1)
+
+
+def flatten_decoded(decoded, tol: float = FLATTEN_TOL,
+                    max_lines: int = MAX_LINES_PER_SEG):
+    """Flatten decoded segments to lines. Returns (lines (N,4) f32, path_ix)."""
+    kind = decoded["kind"]
+    if len(kind) == 0:
+        return np.zeros((0, 4), np.float32), np.zeros(0, np.int32)
+    pts = transform_points(decoded["points"].astype(np.float64),
+                           decoded["transform"].astype(np.float64))
+    cub = elevate_to_cubic(pts, kind)
+    counts = wang_counts(cub, kind, tol, max_lines)
+    offs = np.cumsum(counts) - counts
+    total = int(counts.sum())
+    # expand: for each line slot, its segment and sub index
+    seg_of = np.searchsorted(np.cumsum(counts), np.arange(total), side="right")
+    sub = np.arange(total) - offs[seg_of]
+    n = counts[seg_of].astype(np.float64)
+    t0 = sub / n
+    t1 = (sub + 1) / n
+    c = cub[seg_of]
+
+    def ev(t):
+        t = t[:, None]
+        mt = 1.0 - t
+        return (mt ** 3 * c[:, 0] + 3 * mt * mt * t * c[:, 1]
+                + 3 * mt * t * t * c[:, 2] + t ** 3 * c[:, 3])
+
+    p0 = ev(t0)
+    p1 = ev(t1)
+    lines = np.concatenate([p0, p1], axis=-1).astype(np.float32)
+    return lines, decoded["path_ix"][seg_of]
+
+
+# ---------------------------------------------------------------------------
+# Scanline accumulation coverage (independent from the device formulation)
+
+
+def accumulate_winding(lines: np.ndarray, width: int, height: int,
+                       ) -> np.ndarray:
+    """Exact-area winding grid from line segments (float64, (H, W))."""
+    if len(lines) == 0:
+        return np.zeros((height, width))
+    x0, y0, x1, y1 = (lines[:, i].astype(np.float64) for i in range(4))
+    # Clamp y to the viewport; x handled by clamping into [0, W] so winding
+    # from off-left geometry still lands in column 0.
+    y0c = np.clip(y0, 0.0, float(height))
+    y1c = np.clip(y1, 0.0, float(height))
+    dy = y1 - y0
+    nz = np.abs(dy) > 1e-12
+    tt0 = np.where(nz, (y0c - y0) / np.where(nz, dy, 1.0), 0.0)
+    tt1 = np.where(nz, (y1c - y0) / np.where(nz, dy, 1.0), 0.0)
+    xa = x0 + tt0 * (x1 - x0)
+    xb = x0 + tt1 * (x1 - x0)
+    keep = nz & (np.abs(y1c - y0c) > 1e-12)
+    x0, y0, x1, y1 = xa[keep], y0c[keep], xb[keep], y1c[keep]
+    if len(x0) == 0:
+        return np.zeros((height, width))
+
+    # Split at integer y crossings.
+    ylo = np.minimum(y0, y1)
+    yhi = np.maximum(y0, y1)
+    n_rows = (np.ceil(yhi) - np.floor(ylo)).astype(np.int64)
+    n_rows = np.maximum(n_rows, 1)
+    offs = np.cumsum(n_rows) - n_rows
+    total = int(n_rows.sum())
+    eix = np.searchsorted(np.cumsum(n_rows), np.arange(total), side="right")
+    sub = np.arange(total) - offs[eix]
+    ylo_e = ylo[eix]
+    row_y0 = np.maximum(np.floor(ylo_e) + sub, ylo_e)
+    row_y1 = np.minimum(np.floor(ylo_e) + sub + 1, yhi[eix])
+    valid = row_y1 > row_y0 + 1e-14
+    # Parametrize by original line to get x at the clip ys.
+    X0, Y0, X1, Y1 = x0[eix], y0[eix], x1[eix], y1[eix]
+    dyl = Y1 - Y0
+    inv = 1.0 / np.where(np.abs(dyl) < 1e-14, 1.0, dyl)
+    ta = (row_y0 - Y0) * inv
+    tb = (row_y1 - Y0) * inv
+    pays = np.sign(dyl)  # +1 if going down
+    xa = X0 + ta * (X1 - X0)
+    xb = X0 + tb * (X1 - X0)
+    # Orient piece downward in y; winding sign = pays.
+    py0 = row_y0
+    py1 = row_y1
+    h = (py1 - py0) * pays  # signed vertical extent (down positive)
+
+    # Split at integer x crossings within the row piece.
+    xlo = np.clip(np.minimum(xa, xb), 0.0, float(width))
+    xhi = np.clip(np.maximum(xa, xb), 0.0, float(width))
+    xa_c = np.clip(xa, 0.0, float(width))
+    xb_c = np.clip(xb, 0.0, float(width))
+    n_cols = (np.ceil(xhi) - np.floor(xlo)).astype(np.int64)
+    n_cols = np.where(valid, np.maximum(n_cols, 1), 0)
+    offs2 = np.cumsum(n_cols) - n_cols
+    total2 = int(n_cols.sum())
+    if total2 == 0:
+        return np.zeros((height, width))
+    pix = np.searchsorted(np.cumsum(n_cols), np.arange(total2), side="right")
+    sub2 = np.arange(total2) - offs2[pix]
+    xl = xlo[pix]
+    col_x0 = np.maximum(np.floor(xl) + sub2, xl)
+    col_x1 = np.minimum(np.floor(xl) + sub2 + 1, xhi[pix])
+    col_x1 = np.maximum(col_x1, col_x0)
+    # y extent of this sub-piece: fraction of the row piece's x-span.
+    XA, XB = xa_c[pix], xb_c[pix]
+    dx = XB - XA
+    invx = 1.0 / np.where(np.abs(dx) < 1e-14, 1.0, dx)
+    # t in [0,1] along the row piece for the x clip points
+    u0 = np.where(np.abs(dx) < 1e-14, 0.0, (col_x0 - XA) * invx)
+    u1 = np.where(np.abs(dx) < 1e-14, 1.0, (col_x1 - XA) * invx)
+    ulo = np.clip(np.minimum(u0, u1), 0.0, 1.0)
+    uhi = np.clip(np.maximum(u0, u1), 0.0, 1.0)
+    frac = uhi - ulo
+    frac = np.where(np.abs(dx) < 1e-14, np.where(sub2 == 0, 1.0, 0.0), frac)
+    dh = h[pix] * frac
+    xbar = 0.5 * (col_x0 + col_x1)
+    px = np.floor(np.where(np.abs(dx) < 1e-14, XA, xbar))
+    px = np.clip(px, 0.0, width - 1.0).astype(np.int64)
+    py = np.floor(0.5 * (py0[pix] + py1[pix])).astype(np.int64)
+    py = np.clip(py, 0, height - 1)
+    # Area split between cell px and px+1 by the midpoint rule (exact for
+    # linear edges): right cell gets (xmid - px) fraction "uncovered".
+    xmid = np.where(np.abs(dx) < 1e-14, np.clip(XA, 0.0, width),
+                    0.5 * (col_x0 + col_x1))
+    right_frac = np.clip(xmid - px, 0.0, 1.0)
+    acc = np.zeros((height, width + 1))
+    np.add.at(acc, (py, px), dh * (1.0 - right_frac))
+    np.add.at(acc, (py, np.minimum(px + 1, width)), dh * right_frac)
+    winding = np.cumsum(acc, axis=1)[:, :width]
+    return winding
+
+
+def apply_fill_rule(winding: np.ndarray, rule: int) -> np.ndarray:
+    if rule == int(Fill.EVEN_ODD):
+        return np.abs(winding - 2.0 * np.round(0.5 * winding))
+    return np.minimum(np.abs(winding), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Paint evaluation
+
+
+def _pixel_grid(width, height):
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    return xs + 0.5, ys + 0.5
+
+
+def eval_paint(rs: ResolvedScene, p: int, width: int, height: int
+               ) -> np.ndarray:
+    """Premultiplied RGBA (H, W, 4) of path p's paint."""
+    kind = int(rs.paint_kind[p])
+    if kind == PAINT_COLOR:
+        return np.broadcast_to(rs.color[p], (height, width, 4)).copy()
+    xs, ys = _pixel_grid(width, height)
+    inv = rs.paint_inv[p].astype(np.float64)
+    lx = xs * inv[0] + ys * inv[2] + inv[4]
+    ly = xs * inv[1] + ys * inv[3] + inv[5]
+    if kind == PAINT_GRADIENT:
+        rec = rs.grad_rec[p]
+        ramp = rs.ramps[int(rec[10])]
+        return paint_ops.eval_gradient_static(np, rec, ramp, lx, ly
+                                              ).astype(np.float64)
+    if kind == PAINT_IMAGE:
+        ax, ay, w, h, xe, ye, qual, alpha = rs.image_rec[p]
+        sub = rs.atlas[int(ay):int(ay + h), int(ax):int(ax + w)]
+        rgba = paint_ops.sample_image_bilinear(np, sub.astype(np.float64),
+                                               lx, ly, int(xe), int(ye))
+        return rgba * float(alpha)
+    if kind == PAINT_BLUR_RECT:
+        x0, y0, x1, y1, radius, std = rs.blur_rec[p][:6]
+        cov = blurred_rounded_rect_coverage(
+            np, lx, ly, float(x0), float(y0), float(x1), float(y1),
+            float(radius), float(std))
+        return rs.color[p][None, None, :] * cov[..., None]
+    raise ValueError(f"unknown paint kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Renderer
+
+
+class OracleRenderer:
+    """Full-semantics reference renderer (fills, strokes-as-fills, gradients,
+    images, blurred rects, nested clip/blend layers)."""
+
+    def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
+        rs = resolve(scene.encoding, params)
+        return self.render_resolved(rs, params)
+
+    def render_resolved(self, rs: ResolvedScene,
+                        params: RenderParams) -> np.ndarray:
+        W, H = params.width, params.height
+        decoded = decode_segments(rs.tags, rs.data, rs.transforms, rs.styles)
+        lines, line_path = flatten_decoded(decoded)
+
+        def path_coverage(p: int) -> np.ndarray:
+            sel = line_path == p
+            w = accumulate_winding(lines[sel], W, H)
+            return apply_fill_rule(w, int(rs.fill_rule[p]))
+
+        base = np.zeros((H, W, 4))
+        bc = np.asarray(params.base_color, dtype=np.float64)
+        base[...] = np.array([bc[0] * bc[3], bc[1] * bc[3], bc[2] * bc[3],
+                              bc[3]])
+        # Layer stack: (buffer, clip_coverage, mix, compose, alpha)
+        stack: List[tuple] = [(base, None, int(Mix.NORMAL),
+                               int(Compose.SRC_OVER), 1.0)]
+        layer_iter = iter(rs.layers)
+        li = 0
+        for d in range(len(rs.draw_kind)):
+            k = int(rs.draw_kind[d])
+            if k == DRAW_BEGIN_LAYER:
+                info = rs.layers[li]
+                li += 1
+                clip = None
+                if info.clip_path_ix >= 0:
+                    sel = line_path == info.clip_path_ix
+                    wgrid = accumulate_winding(lines[sel], W, H)
+                    clip = apply_fill_rule(wgrid, info.fill_rule)
+                buf = np.zeros((H, W, 4))
+                stack.append((buf, clip, info.mix, info.compose, info.alpha))
+            elif k == DRAW_END_LAYER:
+                li += 1
+                if len(stack) <= 1:
+                    continue
+                buf, clip, mix, compose, alpha = stack.pop()
+                parent = stack[-1][0]
+                src = buf * alpha
+                blended = blend_ops.blend_mix_compose(np, parent, src,
+                                                      mix, compose)
+                if clip is None:
+                    parent[...] = blended
+                else:
+                    c = clip[..., None]
+                    parent[...] = parent * (1.0 - c) + blended * c
+            else:
+                p = int(rs.draw_path_ix[d])
+                if p < 0:
+                    continue
+                cov = path_coverage(p)
+                rgba = eval_paint(rs, p, W, H)
+                src = rgba * cov[..., None]
+                top = stack[-1][0]
+                top[...] = blend_ops.src_over(np, top, src)
+        out = stack[0][0]
+        return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+def render_scene(scene: Scene, params: RenderParams) -> np.ndarray:
+    return OracleRenderer().render(scene, params)

@@ -1,0 +1,131 @@
+"""Public Scene API — the retained command recorder.
+
+Reference parity: ``vello::Scene`` (``/root/reference/vello/src/scene.rs:45-470``):
+fill / stroke / push_layer / push_clip_layer / draw_image / draw_blurred_rect /
+append / reset. Strokes are expanded host-side (see vello_tpu/stroke.py for the
+architecture rationale); dashing is applied host-side exactly as the reference
+does CPU-side dashing at ``scene.rs:428-439``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from .encoding.encoding import (DRAW_BEGIN_LAYER, DRAW_BLUR_RECT, DRAW_COLOR,
+                                DRAW_END_LAYER, DRAW_GRADIENT, DRAW_IMAGE,
+                                DrawRecord, Encoding)
+from .kurbo import Affine, BezPath, Rect, Stroke, rect_path
+from .peniko import (BlendMode, Brush, Color, Compose, Fill, Gradient, Image,
+                     Mix)
+from .stroke import expand_stroke
+
+
+def _brush_kind(brush: Brush) -> int:
+    if isinstance(brush, Color):
+        return DRAW_COLOR
+    if isinstance(brush, Gradient):
+        return DRAW_GRADIENT
+    if isinstance(brush, Image):
+        return DRAW_IMAGE
+    raise TypeError(f"unsupported brush type {type(brush)}")
+
+
+class Scene:
+    """Records drawing commands into an Encoding."""
+
+    def __init__(self):
+        self.encoding = Encoding()
+        self._layer_depth = 0
+
+    def reset(self):
+        self.encoding.reset()
+        self._layer_depth = 0
+
+    # ------------------------------------------------------------------
+    def fill(self, style: Union[Fill, int], transform: Affine, brush: Brush,
+             brush_transform: Optional[Affine], path: BezPath) -> None:
+        self.encoding.encode_transform(transform)
+        self.encoding.encode_fill_style(Fill(int(style)))
+        if not self.encoding.encode_path(path, is_fill=True):
+            return
+        self.encoding.encode_draw(DrawRecord(
+            kind=_brush_kind(brush), fill_rule=int(style), brush=brush,
+            brush_transform=brush_transform))
+
+    def stroke(self, style: Stroke, transform: Affine, brush: Brush,
+               brush_transform: Optional[Affine], path: BezPath) -> None:
+        if style.width <= 0:
+            return
+        outlines = expand_stroke(path, style, transform)
+        if not outlines:
+            return
+        self.encoding.encode_transform(transform)
+        self.encoding.encode_fill_style(Fill.NON_ZERO)
+        if not self.encoding.encode_polygons(outlines):
+            return
+        self.encoding.encode_draw(DrawRecord(
+            kind=_brush_kind(brush), fill_rule=int(Fill.NON_ZERO),
+            brush=brush, brush_transform=brush_transform))
+
+    # ------------------------------------------------------------------
+    def push_layer(self, blend: Union[BlendMode, Mix], alpha: float,
+                   transform: Affine, clip_path: Optional[BezPath],
+                   fill_rule: Fill = Fill.NON_ZERO) -> None:
+        if isinstance(blend, Mix):
+            blend = BlendMode(blend, Compose.SRC_OVER)
+        self.encoding.encode_transform(transform)
+        self.encoding.encode_fill_style(fill_rule)
+        has_path = clip_path is not None and self.encoding.encode_path(
+            clip_path, is_fill=True)
+        if clip_path is not None and not has_path:
+            # Empty clip shape: encode a degenerate full-viewport-less clip
+            # by using an empty rect — nothing inside the layer will show.
+            has_path = self.encoding.encode_path(
+                rect_path(0.0, 0.0, 0.0, 0.0), is_fill=True)
+        self.encoding.encode_draw(DrawRecord(
+            kind=DRAW_BEGIN_LAYER, blend=blend, alpha=float(alpha),
+            has_path=bool(has_path), fill_rule=int(fill_rule)))
+        self.encoding.n_open_layers += 1
+        self._layer_depth += 1
+
+    def push_clip_layer(self, transform: Affine, clip_path: BezPath,
+                        fill_rule: Fill = Fill.NON_ZERO) -> None:
+        self.push_layer(BlendMode(Mix.CLIP, Compose.SRC_OVER), 1.0,
+                        transform, clip_path, fill_rule)
+
+    def pop_layer(self) -> None:
+        if self._layer_depth == 0:
+            return
+        self.encoding.encode_draw(DrawRecord(kind=DRAW_END_LAYER,
+                                             has_path=False))
+        self.encoding.n_open_layers -= 1
+        self._layer_depth -= 1
+
+    # ------------------------------------------------------------------
+    def draw_image(self, image: Image, transform: Affine) -> None:
+        """Draw an image; the unit rect of the image maps through transform
+        scaled by the image dimensions (reference: scene.rs draw_image)."""
+        w, h = float(image.width), float(image.height)
+        self.fill(Fill.NON_ZERO, transform, image, None,
+                  rect_path(0.0, 0.0, w, h))
+
+    def draw_blurred_rounded_rect(self, transform: Affine, rect: Rect,
+                                  brush: Color, radius: float,
+                                  std_dev: float) -> None:
+        # Blur extends ~2.5 sigma beyond the rect.
+        pad = 2.5 * std_dev
+        region = rect_path(rect.x0 - pad, rect.y0 - pad,
+                           rect.x1 + pad, rect.y1 + pad)
+        self.encoding.encode_transform(transform)
+        self.encoding.encode_fill_style(Fill.NON_ZERO)
+        if not self.encoding.encode_path(region, is_fill=True):
+            return
+        self.encoding.encode_draw(DrawRecord(
+            kind=DRAW_BLUR_RECT, brush=brush,
+            blur_rect=(rect.x0, rect.y0, rect.x1, rect.y1),
+            blur_radius=float(radius), blur_std_dev=float(std_dev)))
+
+    def append(self, other: "Scene", transform: Optional[Affine] = None):
+        self.encoding.append(other.encoding, transform)
