@@ -1,0 +1,182 @@
+"""Differential tests: device (JAX) pipeline vs CPU oracle.
+
+The reference's GPU-vs-CPU compare harness (vello_tests/src/compare.rs) —
+same scene through both implementations, bounded pixel difference.
+"""
+
+import numpy as np
+import pytest
+
+from vello_tpu import Affine, Fill, RenderParams, Scene, Stroke
+from vello_tpu.kurbo import (BezPath, circle_path, ellipse_path, rect_path,
+                             rounded_rect_path, star_path)
+from vello_tpu.models.renderer import Renderer
+from vello_tpu.oracle import OracleRenderer
+from vello_tpu.peniko import (Color, Extend, Gradient, Image, palette, stops)
+
+PARAMS = RenderParams(64, 64, base_color=(0, 0, 0, 1))
+
+
+def check(scene, params=PARAMS, mean_tol=5e-4, max_tol=0.05):
+    a = OracleRenderer().render(scene, params)
+    b = Renderer().render(scene, params)
+    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+    assert d.mean() < mean_tol, f"mean diff {d.mean()}"
+    assert d.max() < max_tol, f"max diff {d.max()}"
+    return b
+
+
+def test_rect_fill():
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           rect_path(8, 8, 56, 40))
+    img = check(s)
+    assert img[20, 20, 0] > 0.99
+    assert img[4, 4, 0] < 0.01
+
+
+def test_circle_fill():
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           circle_path(32, 32, 20))
+    check(s)
+
+
+def test_star_even_odd():
+    s = Scene()
+    s.fill(Fill.EVEN_ODD, Affine.identity(), palette.LIME, None,
+           star_path(32, 32, 5, 10, 28))
+    check(s)
+
+
+def test_star_non_zero_self_intersecting():
+    # self-intersecting star polygon (pentagram drawn with crossing edges)
+    import math
+    p = BezPath()
+    for i in range(5):
+        a = -math.pi / 2 + i * 4 * math.pi / 5
+        x, y = 32 + 26 * math.cos(a), 32 + 26 * math.sin(a)
+        if i == 0:
+            p.move_to(x, y)
+        else:
+            p.line_to(x, y)
+    p.close()
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.MAGENTA, None, p)
+    check(s)
+    s2 = Scene()
+    s2.fill(Fill.EVEN_ODD, Affine.identity(), palette.MAGENTA, None, p)
+    check(s2)
+
+
+def test_stroke_circle():
+    s = Scene()
+    s.stroke(Stroke(width=6), Affine.identity(), palette.BLUE, None,
+             circle_path(32, 32, 20))
+    check(s)
+
+
+def test_stroke_dashed_caps_joins():
+    s = Scene()
+    p = BezPath().move_to(8, 10).line_to(50, 14).line_to(20, 40)
+    s.stroke(Stroke(width=5, join="miter", start_cap="square",
+                    end_cap="butt"), Affine.identity(), palette.YELLOW,
+             None, p)
+    s.stroke(Stroke(width=4).with_dashes(2.0, [8, 4]), Affine.identity(),
+             palette.CYAN, None, circle_path(32, 44, 16))
+    check(s)
+
+
+def test_transforms():
+    s = Scene()
+    t = Affine.rotate_about(0.35, 32, 32) @ Affine.scale(1.3, 0.7)
+    s.fill(Fill.NON_ZERO, t, palette.SEA_GREEN, None,
+           rect_path(12, 20, 52, 44))
+    s.fill(Fill.NON_ZERO, Affine.translate(5, -3) @ Affine.skew(0.2, 0.0),
+           palette.TOMATO.with_alpha(0.7), None, ellipse_path(32, 32, 18, 10))
+    check(s)
+
+
+def test_gradients_linear_radial_sweep():
+    s = Scene()
+    g = Gradient.linear((0, 0), (64, 64),
+                        stops(palette.NAVY, palette.TEAL), Extend.PAD)
+    s.fill(Fill.NON_ZERO, Affine.identity(), g, None, rect_path(0, 0, 64, 64))
+    rg = Gradient.radial((32, 24), 18, stops(palette.YELLOW, palette.RED),
+                         Extend.REFLECT)
+    s.fill(Fill.NON_ZERO, Affine.identity(), rg, None,
+           circle_path(32, 24, 18))
+    sw = Gradient.sweep((32, 50), 0.0, 2 * np.pi,
+                        stops(palette.BLUE, palette.MAGENTA, palette.BLUE))
+    s.fill(Fill.NON_ZERO, Affine.identity(), sw, None,
+           circle_path(32, 50, 12))
+    check(s)
+
+
+def test_gradient_with_brush_transform():
+    s = Scene()
+    g = Gradient.linear((0, 0), (32, 0), stops(palette.RED, palette.BLUE),
+                        Extend.REPEAT)
+    s.fill(Fill.NON_ZERO, Affine.identity(), g, Affine.rotate(0.5),
+           rect_path(0, 0, 64, 64))
+    check(s)
+
+
+def test_image_paint():
+    rng = np.random.default_rng(7)
+    tex = (rng.uniform(0, 255, (16, 16, 4))).astype(np.uint8)
+    tex[..., 3] = 255
+    img = Image(tex)
+    s = Scene()
+    s.draw_image(img, Affine.translate(10, 10) @ Affine.scale(2.0))
+    check(s, mean_tol=2e-3, max_tol=0.08)
+
+
+def test_blurred_rounded_rect():
+    from vello_tpu.kurbo import Rect
+    s = Scene()
+    s.draw_blurred_rounded_rect(Affine.identity(), Rect(16, 16, 48, 40),
+                                palette.BLACK, 6.0, 4.0)
+    check(s, mean_tol=2e-3, max_tol=0.05)
+
+
+def test_offscreen_geometry():
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           rect_path(-100, -20, 30, 50))
+    img = check(s)
+    assert img[10, 10, 0] > 0.99
+
+
+def test_many_overlapping_alpha():
+    s = Scene()
+    rng = np.random.default_rng(3)
+    colors = [palette.RED, palette.LIME, palette.BLUE, palette.YELLOW]
+    for i in range(12):
+        x, y = rng.uniform(8, 56, 2)
+        c = colors[i % 4].with_alpha(0.5)
+        s.fill(Fill.NON_ZERO, Affine.identity(), c, None,
+               circle_path(x, y, rng.uniform(5, 14)))
+    check(s)
+
+
+def test_large_canvas_nonmultiple_of_tile():
+    params = RenderParams(100, 75, base_color=(1, 1, 1, 1))
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.INDIGO, None,
+           circle_path(50, 37, 30))
+    check(s, params)
+
+
+def test_overflow_retry():
+    # Force a tiny line capacity: shrink the estimator result artificially.
+    from vello_tpu.encoding.resolve import resolve
+    s = Scene()
+    for i in range(8):
+        s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+               circle_path(16 + 4 * i, 32, 10))
+    rs = resolve(s.encoding, PARAMS)
+    rs.est_lines = 4  # lie: forces overflow -> retry doubles until it fits
+    out = Renderer(max_retries=6).render_resolved(rs, PARAMS)
+    ref = OracleRenderer().render(s, PARAMS)
+    assert np.abs(out - ref).mean() < 5e-4

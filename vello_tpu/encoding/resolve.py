@@ -204,9 +204,10 @@ def _estimate(decoded, transforms, params: RenderParams):
         vy = np.where(valid, tp[:, i, 1], -big)
         np.maximum.at(maxx, path_ix, vx)
         np.maximum.at(maxy, path_ix, vy)
-    tx0 = np.clip(np.floor(minx[:n_paths] / TILE_W), 0, params.width_tiles)
+    wt1 = params.width_tiles + 1  # pipeline allocates one guard column
+    tx0 = np.clip(np.floor(minx[:n_paths] / TILE_W), 0, wt1)
     ty0 = np.clip(np.floor(miny[:n_paths] / TILE_H), 0, params.height_tiles)
-    tx1 = np.clip(np.ceil(maxx[:n_paths] / TILE_W), 0, params.width_tiles)
+    tx1 = np.clip(np.ceil(maxx[:n_paths] / TILE_W), 0, wt1)
     ty1 = np.clip(np.ceil(maxy[:n_paths] / TILE_H), 0, params.height_tiles)
     areas = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
     est_path_tiles = int(areas.sum()) + n_paths

@@ -1,0 +1,91 @@
+"""Public device Renderer — the flagship entry point.
+
+The role of ``vello::Renderer`` (``/root/reference/vello/src/lib.rs:322-784``):
+resolve a Scene, pick a capacity tier, pad the buffers to static shapes, run
+the jitted pipeline, and retry at the next tier when an overflow flag comes
+back (the robust dynamic-memory loop of ``lib.rs:717-783``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..encoding.config import Capacities, RenderParams
+from ..encoding.resolve import ResolvedScene, resolve
+from ..pipeline.render import PipelineStatic, get_pipeline
+from ..scene import Scene
+
+
+def _pad(a: np.ndarray, n: int, fill=0):
+    if len(a) >= n:
+        return np.asarray(a[:n])
+    pad_width = [(0, n - len(a))] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad_width, constant_values=fill)
+
+
+def pack_buffers(rs: ResolvedScene, caps: Capacities,
+                 params: RenderParams) -> dict:
+    """Pad resolved-scene arrays to the tier's static shapes."""
+    return {
+        "tags": _pad(rs.tags.astype(np.int32), caps.n_tags),
+        "data": _pad(rs.data, caps.n_points),
+        "transforms": _pad(rs.transforms, caps.n_transforms),
+        "styles": _pad(rs.styles, caps.n_styles),
+        "paint_kind": _pad(rs.paint_kind, caps.n_paths),
+        "fill_rule": _pad(rs.fill_rule, caps.n_paths),
+        "color": _pad(rs.color, caps.n_paths),
+        "grad_rec": _pad(rs.grad_rec, caps.n_paths),
+        "paint_inv": _pad(rs.paint_inv, caps.n_paths),
+        "image_rec": _pad(rs.image_rec, caps.n_paths),
+        "blur_rec": _pad(rs.blur_rec, caps.n_paths),
+        "path_kind": _pad(rs.path_kind, caps.n_paths),
+        "ramps": rs.ramps,
+        "atlas": rs.atlas,
+        "base_color": np.asarray(params.base_color, dtype=np.float32),
+    }
+
+
+class Renderer:
+    """Device renderer. render() -> (H, W, 4) premultiplied f32 numpy."""
+
+    def __init__(self, max_retries: int = 3):
+        self.max_retries = max_retries
+
+    def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
+        if scene.encoding.n_open_layers or any(
+                r.kind in (3, 4) for r in scene.encoding.draws):
+            raise NotImplementedError(
+                "device pipeline layer support lands via the layered "
+                "compositor; use OracleRenderer for layered scenes")
+        rs = resolve(scene.encoding, params)
+        return self.render_resolved(rs, params)
+
+    def render_resolved(self, rs: ResolvedScene,
+                        params: RenderParams) -> np.ndarray:
+        caps = rs.capacities(params)
+        kinds = tuple(sorted(set(int(k) for k in rs.paint_kind)))
+        for attempt in range(self.max_retries + 1):
+            static = PipelineStatic(
+                caps_key=caps.key(), width=params.width,
+                height=params.height, kinds_present=kinds)
+            bufs = pack_buffers(rs, caps, params)
+            img, overflow = get_pipeline(static)(bufs)
+            overflow = int(jax.device_get(overflow))
+            if overflow == 0:
+                return np.asarray(jax.device_get(img))
+            # Grow the overflowed buffers (robust-memory retry).
+            caps = Capacities(
+                n_tags=caps.n_tags, n_points=caps.n_points,
+                n_segs=caps.n_segs,
+                n_lines=caps.n_lines * (2 if overflow & 3 else 1),
+                n_touches=caps.n_touches * (2 if overflow & 4 else 1),
+                n_path_tiles=caps.n_path_tiles * (2 if overflow & 8 else 1),
+                n_paths=caps.n_paths, n_transforms=caps.n_transforms,
+                n_styles=caps.n_styles, n_ramps=caps.n_ramps)
+        raise RuntimeError(f"render overflow persisted after "
+                           f"{self.max_retries} retries (flags={overflow})")

@@ -26,7 +26,7 @@ def erf(xp, x):
 
 
 def _gaussian(xp, x, sigma):
-    inv = 1.0 / max(sigma, 1e-6) if isinstance(sigma, float) else 1.0 / sigma
+    inv = 1.0 / xp.maximum(sigma, 1e-6)
     return xp.exp(-0.5 * (x * inv) ** 2) * (inv / math.sqrt(2.0 * math.pi))
 
 
@@ -49,10 +49,10 @@ def blurred_rounded_rect_coverage(xp, x, y, x0, y0, x1, y1,
     cy = 0.5 * (y0 + y1)
     half_w = 0.5 * (x1 - x0)
     half_h = 0.5 * (y1 - y0)
-    corner = min(float(corner), float(half_w), float(half_h))
+    corner = xp.minimum(xp.minimum(corner + 0.0 * half_w, half_w), half_h)
     px = x - cx
     py = y - cy
-    sigma = max(float(sigma), 1e-4)
+    sigma = xp.maximum(sigma, 1e-4)
     # Integrate over the y axis: sample the Gaussian against the closed-form
     # erf coverage of each row.
     low = py - half_h

@@ -1,0 +1,173 @@
+"""Device-side flattening: curves -> LineSoup, with viewport clipping.
+
+The reference's ``flatten.wgsl`` (923 LoC) assigns one GPU thread per segment
+and runs data-dependent Euler-spiral subdivision with bump allocation. The
+TPU formulation is branch-free: degree-elevate everything to cubics, take
+Wang's subdivision bound (clipped to MAX_LINES_PER_SEG), exclusive-cumsum the
+counts, expand with one searchsorted, evaluate the cubics at uniform t, and
+write the compact LineSoup with a single scatter. Wang's bound guarantees the
+same flattening tolerance contract (0.25 px, matching sparse-strips
+``vello_common/src/flatten.rs:16-19``); uniform-t needs ~1.5-2x more lines
+than Euler spirals but every FLOP is dense VPU work.
+
+Viewport clipping strategy (replaces the reference's bbox-clip DDA logic in
+``path_count.wgsl:94-160``): y is *trimmed* parametrically (no winding effect
+on remaining rows); x is *clamped* into [eps, W-eps], which deforms off-screen
+geometry into verticals running just inside the boundary — winding-exact for
+the visible region. A line crossing the left boundary needs its outside
+portion preserved as a left-edge vertical (it carries winding); crossing the
+right boundary the vertical carries winding only off-screen and is dropped.
+These edge verticals go to a small side buffer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..encoding.config import FLATTEN_TOL, MAX_LINES_PER_SEG
+
+_EDGE_EPS = 1.0 / 64.0  # keep clamped verticals strictly inside the viewport
+
+
+def elevate_to_cubic(points, kind):
+    p0 = points[:, 0]
+    line_p1 = points[:, 1]
+    quad_c, quad_p2 = points[:, 1], points[:, 2]
+    k = kind[:, None]
+    c1 = jnp.where(k == 1, p0 + (line_p1 - p0) / 3.0,
+                   jnp.where(k == 2, p0 + 2.0 / 3.0 * (quad_c - p0),
+                             points[:, 1]))
+    c2 = jnp.where(k == 1, p0 + 2.0 / 3.0 * (line_p1 - p0),
+                   jnp.where(k == 2, quad_p2 + 2.0 / 3.0 * (quad_c - quad_p2),
+                             points[:, 2]))
+    p3 = jnp.where(k == 1, line_p1, jnp.where(k == 2, quad_p2, points[:, 3]))
+    return jnp.stack([p0, c1, c2, p3], axis=1)
+
+
+def wang_counts(cubics, kind, tol=FLATTEN_TOL, max_lines=MAX_LINES_PER_SEG):
+    d1 = cubics[:, 0] - 2 * cubics[:, 1] + cubics[:, 2]
+    d2 = cubics[:, 1] - 2 * cubics[:, 2] + cubics[:, 3]
+    m = 6.0 * jnp.maximum(jnp.hypot(d1[..., 0], d1[..., 1]),
+                          jnp.hypot(d2[..., 0], d2[..., 1]))
+    n = jnp.ceil(jnp.sqrt(jnp.maximum(m, 0.0) / (8.0 * tol)))
+    n = jnp.clip(n, 1, max_lines).astype(jnp.int32)
+    n = jnp.where(kind == 1, 1, n)
+    return jnp.where(kind == 0, 0, n)
+
+
+def expand_by_counts(counts, out_size):
+    """counts (S,) -> (idx (out_size,), sub (out_size,), valid (out_size,)).
+
+    Slot j belongs to source element idx[j] with within-element index sub[j].
+    The inverse of a bump allocator: exclusive scan + searchsorted.
+    """
+    incl = jnp.cumsum(counts)
+    total = incl[-1] if len(counts) else 0
+    offs = incl - counts
+    pos = jnp.arange(out_size, dtype=jnp.int32)
+    idx = jnp.searchsorted(incl, pos, side="right").astype(jnp.int32)
+    idx = jnp.clip(idx, 0, max(len(counts) - 1, 0))
+    sub = pos - offs[idx]
+    valid = pos < total
+    return idx, sub, valid, total
+
+
+def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
+            width: float, height: float):
+    """decoded: output of pathtag.decode_and_transform.
+
+    Returns dict with:
+      lines (L, 4) f32   — y-trimmed, x-clamped line soup (x0,y0,x1,y1)
+      line_path (L,) i32 — owning path index
+      line_valid (L,) bool
+      edge_* (E, ...)    — left-boundary vertical pieces (same fields)
+      overflow           — i32 flags
+    """
+    cub = elevate_to_cubic(decoded["points"], decoded["kind"])
+    counts = wang_counts(cub, decoded["kind"])
+    seg_ix, sub, valid, total = expand_by_counts(counts, n_lines_cap)
+    overflow_lines = (total > n_lines_cap).astype(jnp.int32)
+
+    c = cub[seg_ix]                             # (L, 4, 2)
+    n = jnp.maximum(counts[seg_ix], 1).astype(jnp.float32)
+    t0 = sub.astype(jnp.float32) / n
+    t1 = (sub.astype(jnp.float32) + 1.0) / n
+
+    def ev(t):
+        t = t[:, None]
+        mt = 1.0 - t
+        return (mt ** 3 * c[:, 0] + 3 * mt * mt * t * c[:, 1]
+                + 3 * mt * t * t * c[:, 2] + t ** 3 * c[:, 3])
+
+    p0 = ev(t0)
+    p1 = ev(t1)
+
+    # --- y trim (parametric, exact) ---
+    y0, y1 = p0[:, 1], p1[:, 1]
+    dy = y1 - y0
+    y0c = jnp.clip(y0, 0.0, height)
+    y1c = jnp.clip(y1, 0.0, height)
+    nzy = jnp.abs(dy) > 1e-12
+    inv_dy = jnp.where(nzy, 1.0 / jnp.where(nzy, dy, 1.0), 0.0)
+    # Horizontal lines (dy==0): keep endpoints (ta=0, tb=1); they were either
+    # fully inside the y range or are collapsed by the clip equality check.
+    ta = jnp.where(nzy, (y0c - y0) * inv_dy, 0.0)
+    tb = jnp.where(nzy, (y1c - y0) * inv_dy, 1.0)
+    x0 = p0[:, 0] + ta * (p1[:, 0] - p0[:, 0])
+    x1 = p0[:, 0] + tb * (p1[:, 0] - p0[:, 0])
+    y0, y1 = y0c, y1c
+    # degenerate after trim -> collapses (zero tiles later)
+    alive = valid & (jnp.abs(y1 - y0) + jnp.abs(x1 - x0) > 1e-12)
+
+    # --- x clamp; emit left-edge verticals for the clipped-off winding ---
+    lo = _EDGE_EPS
+    hi = jnp.maximum(width - _EDGE_EPS, lo + 1e-3)
+    x0c = jnp.clip(x0, lo, hi)
+    x1c = jnp.clip(x1, lo, hi)
+    dx = x1 - x0
+    nzx = jnp.abs(dx) > 1e-12
+    inv_dx = jnp.where(nzx, 1.0 / jnp.where(nzx, dx, 1.0), 0.0)
+    # y at the points where x enters/leaves the clamp range (u clipped so
+    # entirely-outside lines don't extrapolate).
+    u0 = jnp.where(nzx, jnp.clip((x0c - x0) * inv_dx, 0.0, 1.0), 0.0)
+    u1 = jnp.where(nzx, jnp.clip((x1c - x0) * inv_dx, 0.0, 1.0), 1.0)
+    ye0 = y0 + u0 * (y1 - y0)   # y where the clamped middle piece starts
+    ye1 = y0 + u1 * (y1 - y0)   # ... ends
+    # A line entirely left of the viewport becomes a full vertical at lo
+    # (carries all its winding); entirely right becomes a vertical at hi
+    # (winding only off-screen).
+    left_all = jnp.maximum(x0, x1) <= lo
+    right_all = jnp.minimum(x0, x1) >= hi
+    outside = left_all | right_all
+    mid = jnp.stack([x0c, jnp.where(outside, y0, ye0),
+                     x1c, jnp.where(outside, y1, ye1)], axis=-1)
+    mid = jnp.where(alive[:, None], mid, 0.0)
+
+    # Left-edge vertical for lines CROSSING x=lo: the outside portion maps to
+    # a vertical at lo — at the start if moving right, at the end if left.
+    crossing = alive & nzx & (jnp.minimum(x0, x1) < lo) \
+        & (jnp.maximum(x0, x1) > lo)
+    need_start = crossing & (x0 < x1)
+    needs_edge = crossing
+    ev_y0 = jnp.where(need_start, y0, ye1)
+    ev_y1 = jnp.where(need_start, ye0, y1)
+    edge_counts = needs_edge.astype(jnp.int32)
+    eix, _, evalid, etotal = expand_by_counts(edge_counts, n_edge_cap)
+    overflow_edges = (etotal > n_edge_cap).astype(jnp.int32)
+    edge_lines = jnp.stack([
+        jnp.full_like(ev_y0, lo)[eix], ev_y0[eix],
+        jnp.full_like(ev_y0, lo)[eix], ev_y1[eix]], axis=-1)
+    edge_lines = jnp.where(evalid[:, None], edge_lines, 0.0)
+
+    line_path = decoded["path_ix"][seg_ix]
+    return {
+        "lines": mid.astype(jnp.float32),
+        "line_path": jnp.where(alive, line_path, 2 ** 30).astype(jnp.int32),
+        "line_valid": alive,
+        "edge_lines": edge_lines.astype(jnp.float32),
+        "edge_path": jnp.where(evalid, line_path[eix], 2 ** 30
+                               ).astype(jnp.int32),
+        "edge_valid": evalid,
+        "overflow": overflow_lines + 2 * overflow_edges,
+    }

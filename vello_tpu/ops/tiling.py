@@ -1,0 +1,272 @@
+"""Device-side tiling: lines -> (line, tile) touches -> tile-local segments
+and backdrop deltas. Replaces the reference's atomic/indirect trio
+``path_count.wgsl`` / ``backdrop_dyn.wgsl`` / ``path_tiling.wgsl`` with a
+fully-vectorised count -> cumsum -> expand -> scatter formulation:
+
+* touch counts are closed-form (span arithmetic), so "bump allocation"
+  becomes an exclusive scan + one searchsorted expansion;
+* each touch independently recomputes its tile via the staircase closed form
+  z(i) = floor(a*i + b) (the robust-epsilon construction guaranteeing
+  floor-consistency across i follows the reference's published scheme,
+  path_count.wgsl:36-92 — the invariant matters, the code is re-derived);
+* backdrop deltas (winding crossing tile rows) become one scatter-add plus a
+  segmented row prefix-sum, replacing atomicAdd + backdrop_dyn;
+* per-tile segment lists come from one key sort (jax.lax.sort), replacing
+  coarse's workgroup-shared-memory bitmaps.
+
+Because flatten already clamps lines into the viewport, no bbox-clip branch
+survives in this stage (the reference's imin/imax/ynext logic is vestigial
+under that precondition).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..encoding.config import TILE_H, TILE_W
+from .flatten import expand_by_counts
+
+ONE_MINUS_ULP = 0.99999994
+ROBUST_EPS = 2e-7
+SEG_EPS = 1e-6
+
+
+def _span(a, b):
+    return jnp.maximum(jnp.ceil(jnp.maximum(a, b))
+                       - jnp.floor(jnp.minimum(a, b)), 1.0)
+
+
+def path_tile_rects(lines, edge_lines, line_path, edge_path, n_paths_cap,
+                    width_tiles, height_tiles):
+    """Per-path clamped tile-space bounding rects + flat-tile allocation.
+
+    Plays the role of the path bbox atomics in flatten.wgsl:831-923 plus
+    tile_alloc.wgsl: bbox via segment min/max, allocation via cumsum.
+    """
+    allx = jnp.concatenate([lines[:, 0], lines[:, 2],
+                            edge_lines[:, 0], edge_lines[:, 2]])
+    ally = jnp.concatenate([lines[:, 1], lines[:, 3],
+                            edge_lines[:, 1], edge_lines[:, 3]])
+    allp = jnp.concatenate([line_path, line_path, edge_path, edge_path])
+    allp = jnp.clip(allp, 0, n_paths_cap)  # invalid -> dump slot n_paths_cap
+    big = jnp.float32(1e30)
+    num = n_paths_cap + 1
+    minx = jax.ops.segment_min(allx, allp, num_segments=num)
+    miny = jax.ops.segment_min(ally, allp, num_segments=num)
+    maxx = jax.ops.segment_max(allx, allp, num_segments=num)
+    maxy = jax.ops.segment_max(ally, allp, num_segments=num)
+    empty = minx > maxx  # segment_min of empty set = +inf
+    tx0 = jnp.clip(jnp.floor(minx / TILE_W), 0, width_tiles).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(miny / TILE_H), 0, height_tiles).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(maxx / TILE_W) + 1, 0,
+                   width_tiles).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(maxy / TILE_H) + 1, 0,
+                   height_tiles).astype(jnp.int32)
+    tx1 = jnp.maximum(tx1, tx0)
+    ty1 = jnp.maximum(ty1, ty0)
+    w = jnp.where(empty, 0, tx1 - tx0)[:n_paths_cap]
+    h = jnp.where(empty, 0, ty1 - ty0)[:n_paths_cap]
+    areas = w * h
+    incl = jnp.cumsum(areas)
+    base = incl - areas
+    del big
+    return {
+        "tx0": tx0[:n_paths_cap], "ty0": ty0[:n_paths_cap],
+        "tx1": tx1[:n_paths_cap], "ty1": ty1[:n_paths_cap],
+        "stride": w, "rows": h, "base": base, "areas": areas,
+        "total_tiles": incl[-1],
+    }
+
+
+def _dda_params(lines):
+    """Per-line staircase parameters (downward-oriented)."""
+    x0, y0, x1, y1 = lines[:, 0], lines[:, 1], lines[:, 2], lines[:, 3]
+    is_down = y1 >= y0
+    qx0 = jnp.where(is_down, x0, x1)
+    qy0 = jnp.where(is_down, y0, y1)
+    qx1 = jnp.where(is_down, x1, x0)
+    qy1 = jnp.where(is_down, y1, y0)
+    sx0, sy0 = qx0 / TILE_W, qy0 / TILE_H
+    sx1, sy1 = qx1 / TILE_W, qy1 / TILE_H
+    count_x = _span(sx0, sx1) - 1.0
+    count = count_x + _span(sy0, sy1)
+    dx = jnp.abs(sx1 - sx0)
+    dy = sy1 - sy0
+    denom = dx + dy
+    zero_len = denom == 0.0
+    boundary_horiz = (dy == 0.0) & (jnp.floor(sy0) == sy0)
+    idxdy = 1.0 / jnp.where(zero_len, 1.0, denom)
+    a = dx * idxdy
+    pos_slope = sx1 >= sx0
+    sign_x = jnp.where(pos_slope, 1.0, -1.0)
+    xt0 = jnp.floor(sx0 * sign_x)
+    c = sx0 * sign_x - xt0
+    y0i = jnp.floor(sy0)
+    ytop = jnp.where(sy0 == sy1, jnp.ceil(sy0), y0i + 1.0)
+    b = jnp.minimum((dy * c + dx * (ytop - sy0)) * idxdy, ONE_MINUS_ULP)
+    # Robustness: force floor-consistency of the staircase at its last step.
+    err = jnp.floor(a * (count - 1.0) + b) - count_x
+    a = jnp.where(err != 0.0, a - ROBUST_EPS * jnp.sign(err), a)
+    x0i = xt0 * sign_x + jnp.where(pos_slope, 0.0, -1.0)
+    dead = zero_len | boundary_horiz
+    return {
+        "is_down": is_down, "q": (qx0, qy0, qx1, qy1),
+        "count": jnp.where(dead, 0.0, count), "a": a, "b": b,
+        "sign_x": sign_x, "x0i": x0i, "y0i": y0i, "sy0": sy0,
+        "pos_slope": pos_slope,
+    }
+
+
+def make_touches(lines, line_path, rects, n_touch_cap):
+    """Expand lines into (line, tile) touch records.
+
+    Returns per-touch: line index, tile (x, y), flat tile id, tile-local
+    clipped segment (p0, p1, y_edge), backdrop scatter (index, delta), and
+    validity.
+    """
+    p = _dda_params(lines)
+    path = line_path
+    valid_line = path < 2 ** 30
+    pclip = jnp.clip(path, 0, len(rects["tx0"]) - 1)
+    # Drop verticals exactly on the path's right tile boundary (their winding
+    # falls outside the bbox — see path_count.wgsl xmin >= bbox.z).
+    sx_min = jnp.minimum(lines[:, 0], lines[:, 2]) / TILE_W
+    on_right = sx_min >= rects["tx1"][pclip].astype(jnp.float32)
+    counts = jnp.where(valid_line & ~on_right & (rects["stride"][pclip] > 0),
+                       p["count"], 0.0).astype(jnp.int32)
+    lix, i, tvalid, total = expand_by_counts(counts, n_touch_cap)
+    overflow = (total > n_touch_cap).astype(jnp.int32)
+
+    fi = i.astype(jnp.float32)
+    a = p["a"][lix]
+    b = p["b"][lix]
+    z = jnp.floor(a * fi + b)
+    x = (p["x0i"][lix] + p["sign_x"][lix] * z).astype(jnp.int32)
+    y = (p["y0i"][lix] + fi - z).astype(jnp.int32)
+    tp = pclip[lix]
+    tx0 = rects["tx0"][tp]
+    ty0 = rects["ty0"][tp]
+    stride = rects["stride"][tp]
+    # Clamp into the path rect (numerical safety; by construction inside).
+    x = jnp.clip(x, tx0, rects["tx1"][tp] - 1)
+    y = jnp.clip(y, ty0, rects["ty1"][tp] - 1)
+    ftile = rects["base"][tp] + (y - ty0) * stride + (x - tx0)
+    ftile = jnp.where(tvalid, ftile, 2 ** 30)
+
+    # --- backdrop: does this touch enter through its tile's top edge? ---
+    z_prev = jnp.floor(a * (fi - 1.0) + b)
+    sy0 = p["sy0"][lix]
+    top_edge = jnp.where(i == 0, jnp.floor(sy0) == sy0, z == z_prev)
+    delta = jnp.where(p["is_down"][lix], -1, 1).astype(jnp.int32)
+    bx = x + 1
+    b_ok = tvalid & top_edge & (bx < rects["tx1"][tp])
+    btile = rects["base"][tp] + (y - ty0) * stride + (bx - tx0)
+    backdrop_idx = jnp.where(b_ok, btile, 2 ** 30)
+    backdrop_val = jnp.where(b_ok, delta, 0)
+
+    # --- clip the segment to the tile (path_tiling logic, vectorised) ---
+    qx0, qy0, qx1, qy1 = (v[lix] for v in p["q"])
+    count = p["count"][lix]
+    tile_x = x.astype(jnp.float32) * TILE_W
+    tile_y = y.astype(jnp.float32) * TILE_H
+    tile_x1 = tile_x + TILE_W
+    tile_y1 = tile_y + TILE_H
+    dxl = qx1 - qx0
+    dyl = qy1 - qy0
+    inv_dyl = 1.0 / jnp.where(dyl == 0, 1.0, dyl)
+    inv_dxl = 1.0 / jnp.where(dxl == 0, 1.0, dxl)
+    pos = p["pos_slope"][lix]
+
+    # entry clip (i > 0)
+    z_same_prev = z == z_prev
+    xt_top = qx0 + dxl * (tile_y - qy0) * inv_dyl
+    xt_top = jnp.clip(xt_top, tile_x + 1e-3, tile_x1)
+    x_clip_e = jnp.where(pos, tile_x, tile_x1)
+    yt_side = qy0 + dyl * (x_clip_e - qx0) * inv_dxl
+    yt_side = jnp.clip(yt_side, tile_y + 1e-3, tile_y1)
+    ex = jnp.where(z_same_prev, xt_top, x_clip_e)
+    ey = jnp.where(z_same_prev, tile_y, yt_side)
+    px0 = jnp.where(i > 0, ex, qx0)
+    py0 = jnp.where(i > 0, ey, qy0)
+
+    # exit clip (i < count - 1)
+    z_next = jnp.floor(a * (fi + 1.0) + b)
+    z_same_next = z == z_next
+    xt_bot = qx0 + dxl * (tile_y1 - qy0) * inv_dyl
+    xt_bot = jnp.clip(xt_bot, tile_x + 1e-3, tile_x1)
+    x_clip_x = jnp.where(pos, tile_x1, tile_x)
+    yt_side2 = qy0 + dyl * (x_clip_x - qx0) * inv_dxl
+    yt_side2 = jnp.clip(yt_side2, tile_y + 1e-3, tile_y1)
+    lx = jnp.where(z_same_next, xt_bot, x_clip_x)
+    ly = jnp.where(z_same_next, tile_y1, yt_side2)
+    last = fi >= count - 1.0
+    px1 = jnp.where(last, qx1, lx)
+    py1 = jnp.where(last, qy1, ly)
+
+    # tile-local coords + robustness rules (path_tiling.wgsl:129-168)
+    p0x = px0 - tile_x
+    p0y = py0 - tile_y
+    p1x = px1 - tile_x
+    p1y = py1 - tile_y
+    y_edge = jnp.full_like(p0x, 1e9)
+    eps = SEG_EPS
+    both0 = (p0x == 0.0) & (p1x == 0.0)
+    entire = both0 & (p0y == 0.0)
+    vanish = both0 & (p0y != 0.0)
+    p0_only = (p0x == 0.0) & (p1x != 0.0)
+    y_edge = jnp.where(p0_only & (p0y != 0.0), p0y, y_edge)
+    y_edge = jnp.where((p1x == 0.0) & ~both0 & (p1y != 0.0), p1y, y_edge)
+    p0x = jnp.where(both0 | (p0_only & (p0y == 0.0)), eps, p0x)
+    p1x = jnp.where(entire, eps, jnp.where(vanish, 2 * eps, p1x))
+    p1y = jnp.where(entire, float(TILE_H), jnp.where(vanish, p0y, p1y))
+    p1x = jnp.where((p1x == 0.0) & (p1y == 0.0) & ~both0, eps, p1x)
+    # no pixel-grid-aligned interior verticals (fine denominator guard).
+    on_grid0 = (p0x == jnp.floor(p0x)) & (p0x != 0.0)
+    on_grid1 = (p1x == jnp.floor(p1x)) & (p1x != 0.0)
+    p0x = jnp.where(on_grid0, p0x - eps, p0x)
+    p1x = jnp.where(on_grid1, p1x - eps, p1x)
+    # restore original orientation
+    down = p["is_down"][lix]
+    s0x = jnp.where(down, p0x, p1x)
+    s0y = jnp.where(down, p0y, p1y)
+    s1x = jnp.where(down, p1x, p0x)
+    s1y = jnp.where(down, p1y, p0y)
+
+    seg = jnp.stack([s0x, s0y, s1x, s1y], axis=-1).astype(jnp.float32)
+    seg = jnp.where(tvalid[:, None], seg, 0.0)
+    return {
+        "ftile": ftile.astype(jnp.int32),
+        "seg": seg,
+        "y_edge": jnp.where(tvalid, y_edge, 1e9).astype(jnp.float32),
+        "valid": tvalid,
+        "backdrop_idx": backdrop_idx.astype(jnp.int32),
+        "backdrop_val": backdrop_val,
+        "overflow": overflow,
+    }
+
+
+def backdrop_prefix(backdrop_idx, backdrop_val, rects, n_tile_cap):
+    """Scatter backdrop deltas and prefix-sum along each tile row.
+
+    Replaces path_count's atomicAdd + backdrop_dyn's per-row loop.
+    """
+    acc = jnp.zeros(n_tile_cap + 1, dtype=jnp.int32)
+    idx = jnp.clip(backdrop_idx, 0, n_tile_cap)
+    acc = acc.at[idx].add(backdrop_val)
+    acc = acc[:n_tile_cap]
+    # Row starts: flat tile t belongs to path p = searchsorted(base_incl, t);
+    # its row start is base[p] + row * stride[p].
+    t = jnp.arange(n_tile_cap, dtype=jnp.int32)
+    incl = rects["base"] + rects["areas"]
+    pth = jnp.searchsorted(incl, t, side="right").astype(jnp.int32)
+    pth = jnp.clip(pth, 0, len(rects["base"]) - 1)
+    base = rects["base"][pth]
+    stride = jnp.maximum(rects["stride"][pth], 1)
+    rel = t - base
+    row_start = base + (rel // stride) * stride
+    c = jnp.cumsum(acc)
+    c_start = c[row_start]
+    a_start = acc[row_start]
+    # inclusive prefix within the row
+    return c - c_start + a_start

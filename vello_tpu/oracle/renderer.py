@@ -120,6 +120,11 @@ def accumulate_winding(lines: np.ndarray, width: int, height: int,
     """Exact-area winding grid from line segments (float64, (H, W))."""
     if len(lines) == 0:
         return np.zeros((height, width))
+    # Accumulate into a guard margin on the right so clamping compression
+    # lands outside the visible area (left-clamp compression at x=0 is the
+    # exact winding-preserving transform; right side is only exact beyond W).
+    out_width = width
+    width = width + 17
     x0, y0, x1, y1 = (lines[:, i].astype(np.float64) for i in range(4))
     # Clamp y to the viewport; x handled by clamping into [0, W] so winding
     # from off-left geometry still lands in column 0.
@@ -134,7 +139,7 @@ def accumulate_winding(lines: np.ndarray, width: int, height: int,
     keep = nz & (np.abs(y1c - y0c) > 1e-12)
     x0, y0, x1, y1 = xa[keep], y0c[keep], xb[keep], y1c[keep]
     if len(x0) == 0:
-        return np.zeros((height, width))
+        return np.zeros((height, out_width))
 
     # Split at integer y crossings.
     ylo = np.minimum(y0, y1)
@@ -173,7 +178,7 @@ def accumulate_winding(lines: np.ndarray, width: int, height: int,
     offs2 = np.cumsum(n_cols) - n_cols
     total2 = int(n_cols.sum())
     if total2 == 0:
-        return np.zeros((height, width))
+        return np.zeros((height, out_width))
     pix = np.searchsorted(np.cumsum(n_cols), np.arange(total2), side="right")
     sub2 = np.arange(total2) - offs2[pix]
     xl = xlo[pix]
@@ -205,7 +210,7 @@ def accumulate_winding(lines: np.ndarray, width: int, height: int,
     acc = np.zeros((height, width + 1))
     np.add.at(acc, (py, px), dh * (1.0 - right_frac))
     np.add.at(acc, (py, np.minimum(px + 1, width)), dh * right_frac)
-    winding = np.cumsum(acc, axis=1)[:, :width]
+    winding = np.cumsum(acc, axis=1)[:, :out_width]
     return winding
 
 
