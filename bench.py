@@ -1,0 +1,89 @@
+"""Benchmark driver: renders an mmark-class vector scene on the attached TPU
+and prints ONE JSON line {metric, value, unit, vs_baseline}.
+
+Baseline (BASELINE.md): the reference hits 177 fps on paris-30k @1600^2 on an
+Apple M1 Max. In-repo, mmark/filled_mmark are the scalable-complexity
+stand-ins (the reference does the same: examples/scenes/src/mmark.rs).
+vs_baseline = fps / 177.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 177.0
+COMPLEXITY = int(os.environ.get("BENCH_COMPLEXITY", "10"))   # ~10k elements
+SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
+WARMUP = 2
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+
+
+def main():
+    import jax
+
+    from vello_tpu import RenderParams
+    from vello_tpu.encoding.resolve import resolve
+    from vello_tpu.models.renderer import pack_buffers
+    from vello_tpu.pipeline.render import PipelineStatic, get_pipeline
+    from vello_tpu.scenes.test_scenes import filled_mmark
+
+    t0 = time.time()
+    scene = filled_mmark(COMPLEXITY, float(SIZE))
+    params = RenderParams(SIZE, SIZE, base_color=(0.1, 0.1, 0.1, 1.0))
+    rs = resolve(scene.encoding, params)
+    caps = rs.capacities(params)
+    static = PipelineStatic(
+        caps_key=caps.key(), width=SIZE, height=SIZE,
+        kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))))
+    bufs = pack_buffers(rs, caps, params)
+    bufs = {k: jax.device_put(np.asarray(v)) for k, v in bufs.items()}
+    encode_s = time.time() - t0
+    fn = get_pipeline(static)
+
+    t0 = time.time()
+    img, overflow = fn(bufs)
+    img.block_until_ready()
+    compile_s = time.time() - t0
+    if int(jax.device_get(overflow)) != 0:
+        print(json.dumps({"metric": "error", "value": -1, "unit": "",
+                          "vs_baseline": 0,
+                          "note": f"overflow {int(jax.device_get(overflow))}"}))
+        return
+
+    for _ in range(WARMUP):
+        img, _ = fn(bufs)
+    img.block_until_ready()
+    t0 = time.time()
+    for _ in range(ITERS):
+        img, overflow = fn(bufs)
+    img.block_until_ready()
+    dt = (time.time() - t0) / ITERS
+    fps = 1.0 / dt
+    n_paths = rs.n_paths
+    n_segs = rs.n_segs
+    msegs = rs.est_lines * fps / 1e6
+    result = {
+        "metric": f"fps filled_mmark-{COMPLEXITY}k {SIZE}x{SIZE} area-AA "
+                  f"({n_paths} paths, {n_segs} segs, ~{rs.est_lines} lines)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "extra": {
+            "frame_ms": round(dt * 1e3, 2),
+            "mlines_per_s": round(msegs, 2),
+            "compile_s": round(compile_s, 1),
+            "encode_s": round(encode_s, 2),
+            "backend": jax.default_backend(),
+            "caps": dict(zip(
+                ["tags", "points", "segs", "lines", "touches", "path_tiles",
+                 "paths", "transforms", "styles", "ramps"], caps.key())),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

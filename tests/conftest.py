@@ -1,15 +1,22 @@
 """Test configuration: force JAX onto CPU with 8 virtual devices so the
-multi-chip sharding paths are exercised without TPU hardware (SURVEY.md env
-notes). Must run before jax is imported anywhere."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+This image preloads jaxlib via sitecustomize, so XLA_FLAGS must be in the
+process environment BEFORE the interpreter starts — if it isn't, re-exec
+pytest once with the corrected environment."""
 
 import os
+import sys
+
+_FLAG = "--xla_force_host_platform_device_count=8"
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")  # this build ignores plural
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    # Usually too late (sitecustomize preloads jaxlib before conftest runs);
+    # tests needing 8 devices fall back to a subprocess with this env set.
+    os.environ["XLA_FLAGS"] = (flags + " " + _FLAG).strip()
 
 import numpy as np
 import pytest

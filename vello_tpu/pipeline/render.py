@@ -42,8 +42,13 @@ class PipelineStatic:
         return (self.height + TILE_H - 1) // TILE_H
 
 
-def render_frame(bufs: dict, static: PipelineStatic):
+def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
     """bufs: dict of padded device arrays (see models/renderer.py pack()).
+
+    stripe: optional (ty_lo, ht_local) — composite only the tile rows
+    [ty_lo, ty_lo + ht_local) and return that horizontal stripe of the image
+    (the sequence-parallel axis for multi-chip rendering; ty_lo may be a
+    traced value, ht_local must be static).
 
     Returns (image (H, W, 4) premultiplied f32, overflow flags i32).
     """
@@ -111,18 +116,28 @@ def render_frame(bufs: dict, static: PipelineStatic):
     src = src * coverage[..., None]
 
     # --- composite: sort fragments by (global tile, draw order) ---
-    gtile = jnp.where(tvalid & (tx < WT), ty * WT + tx, n_gtiles)
+    if stripe is None:
+        ty_lo, ht_local = 0, HT
+    else:
+        ty_lo, ht_local = stripe
+    n_loc = WT * ht_local
+    owned = tvalid & (tx < WT) & (ty >= ty_lo) & (ty < ty_lo + ht_local)
+    gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
     g_s, _, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
     src_s = src[fidx_s]
     alpha_s = src_s[..., 3]
     base = bufs["base_color"]
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
-    tiles = fine_xla.composite_srcover(src_s, alpha_s, g_s, n_gtiles,
+    tiles = fine_xla.composite_srcover(src_s, alpha_s, g_s, n_loc,
                                        base_premul)
 
-    img = tiles.reshape(HT, WT, TILE_H, TILE_W, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(HT * TILE_H, WT * TILE_W, 4)
-    img = img[:static.height, :static.width]
+    img = tiles.reshape(ht_local, WT, TILE_H, TILE_W, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(ht_local * TILE_H,
+                                               WT * TILE_W, 4)
+    if stripe is None:
+        img = img[:static.height, :static.width]
+    else:
+        img = img[:, :static.width]
     overflow = fl["overflow"] + 4 * touches["overflow"] + 8 * overflow_tiles
     return img, overflow
 

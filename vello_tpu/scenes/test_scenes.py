@@ -1,0 +1,323 @@
+"""Test scene corpus — procedural recreations of the reference's scene roster
+(``examples/scenes/src/test_scenes.rs``: funky_paths, fill_types,
+stroke_styles, tricky_strokes, gradients, blend_grid, deep_blend, many_clips,
+mmark, many_draw_objects...). Used by snapshot tests and benchmarks.
+
+Each function returns a Scene; sizes are parameterised so the same scene
+works at test (small) and bench (large) resolutions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..kurbo import (Affine, BezPath, Rect, Stroke, circle_path, ellipse_path,
+                     rect_path, rounded_rect_path, star_path)
+from ..peniko import (BlendMode, Color, Compose, Extend, Fill, Gradient, Mix,
+                      palette, stops)
+from ..scene import Scene
+
+COLORS = [palette.RED, palette.ORANGE, palette.YELLOW, palette.LIME,
+          palette.CYAN, palette.BLUE, palette.PURPLE, palette.MAGENTA,
+          palette.TEAL, palette.HOT_PINK, palette.SEA_GREEN, palette.TOMATO]
+
+
+def funky_paths(size: float = 256.0) -> Scene:
+    """Degenerate-ish path soup (reference: funky_paths)."""
+    s = Scene()
+    k = size / 256.0
+    t = Affine.scale(k)
+    # zero-width triangle slivers, collinear points, repeated points
+    p = BezPath().move_to(10, 10).line_to(10, 10).line_to(200, 10) \
+        .line_to(200, 11).close()
+    s.fill(Fill.NON_ZERO, t, palette.YELLOW, None, p)
+    p = BezPath().move_to(30, 40).line_to(30, 40).close()
+    s.fill(Fill.NON_ZERO, t, palette.RED, None, p)
+    # subpath after close without moveto
+    p = BezPath().move_to(40, 60).line_to(120, 60).line_to(120, 120).close() \
+        .line_to(40, 180).line_to(120, 180).close()
+    s.fill(Fill.NON_ZERO, t, palette.CYAN.with_alpha(0.8), None, p)
+    # long thin spikes
+    p = BezPath().move_to(150, 30)
+    for i in range(12):
+        p.line_to(150 + 90 * math.cos(i * 2.3), 130 + 90 * math.sin(i * 2.3))
+        p.line_to(150, 130)
+    p.close()
+    s.fill(Fill.EVEN_ODD, t, palette.MAGENTA.with_alpha(0.7), None, p)
+    return s
+
+
+def fill_types(size: float = 256.0) -> Scene:
+    """NonZero vs EvenOdd on self-intersecting shapes (reference: fill_types)."""
+    s = Scene()
+    k = size / 256.0
+    for col, rule in ((0, Fill.NON_ZERO), (1, Fill.EVEN_ODD)):
+        for row, nper in ((0, 5), (1, 7)):
+            cx = (64 + 128 * col) * k
+            cy = (64 + 128 * row) * k
+            p = BezPath()
+            r = 54 * k
+            for i in range(nper):
+                a = -math.pi / 2 + i * 2 * math.pi * 2 / nper
+                x, y = cx + r * math.cos(a), cy + r * math.sin(a)
+                if i == 0:
+                    p.move_to(x, y)
+                else:
+                    p.line_to(x, y)
+            p.close()
+            s.fill(rule, Affine.identity(), COLORS[(col + 2 * row) % 12],
+                   None, p)
+    return s
+
+
+def stroke_styles(size: float = 256.0) -> Scene:
+    """Cap/join/dash matrix (reference: stroke_styles)."""
+    s = Scene()
+    k = size / 256.0
+    y = 20.0
+    for cap in ("butt", "square", "round"):
+        st = Stroke(width=12 * k).with_caps(cap)
+        p = BezPath().move_to(20 * k, y * k).line_to(120 * k, y * k)
+        s.stroke(st, Affine.identity(), palette.WHITE, None, p)
+        y += 28
+    for join in ("bevel", "miter", "round"):
+        st = Stroke(width=12 * k, join=join, miter_limit=6.0)
+        p = BezPath().move_to(150 * k, (y - 84 + 14) * k) \
+            .line_to(230 * k, (y - 84) * k).line_to(170 * k, (y - 84 - 20) * k)
+        s.stroke(st, Affine.identity(), palette.CYAN, None, p)
+        y += 28
+    for i, dash in enumerate(([8, 4], [2, 2], [12, 2, 2, 2])):
+        st = Stroke(width=6 * k).with_dashes(0.0, [d * k for d in dash])
+        s.stroke(st, Affine.identity(), COLORS[i + 4], None,
+                 circle_path(70 * k, (150 + 34 * i) * k, 26 * k))
+    p = BezPath().move_to(150 * k, 150 * k) \
+        .curve_to(190 * k, 120 * k, 200 * k, 200 * k, 235 * k, 170 * k)
+    s.stroke(Stroke(width=10 * k), Affine.identity(), palette.YELLOW, None, p)
+    return s
+
+
+def tricky_strokes(size: float = 256.0) -> Scene:
+    """Cusps, tight curvature, degenerate control points."""
+    s = Scene()
+    k = size / 256.0
+    cases = [
+        # cusp-ish cubics
+        [(20, 40), (120, 40), (20, 60), (120, 60)],
+        [(20, 100), (150, 40), (20, 140), (120, 100)],
+        # coincident control points
+        [(20, 180), (20, 180), (120, 180), (120, 180)],
+        [(140, 180), (240, 120), (240, 120), (240, 220)],
+        [(140, 40), (240, 40), (140, 100), (240, 100)],
+    ]
+    for i, c in enumerate(cases):
+        p = BezPath().move_to(c[0][0] * k, c[0][1] * k)
+        p.curve_to(c[1][0] * k, c[1][1] * k, c[2][0] * k, c[2][1] * k,
+                   c[3][0] * k, c[3][1] * k)
+        s.stroke(Stroke(width=7 * k), Affine.identity(), COLORS[i], None, p)
+    return s
+
+
+def gradient_suite(size: float = 256.0) -> Scene:
+    s = Scene()
+    k = size / 256.0
+    cells = [
+        Gradient.linear((0, 0), (120 * k, 0),
+                        stops(palette.RED, palette.YELLOW, palette.LIME),
+                        Extend.PAD),
+        Gradient.linear((0, 0), (40 * k, 0),
+                        stops(palette.BLUE, palette.WHITE), Extend.REPEAT),
+        Gradient.linear((0, 0), (40 * k, 40 * k),
+                        stops(palette.TEAL, palette.MAGENTA), Extend.REFLECT),
+        Gradient.radial((60 * k, 60 * k), 55 * k,
+                        stops(palette.YELLOW, palette.RED)),
+        Gradient.radial((60 * k, 60 * k), 55 * k,
+                        stops(palette.CYAN, palette.NAVY), Extend.REFLECT,
+                        center0=(40 * k, 40 * k), radius0=10 * k),
+        Gradient.sweep((60 * k, 60 * k), 0, 2 * math.pi,
+                       stops(palette.RED, palette.BLUE, palette.RED)),
+    ]
+    for i, g in enumerate(cells):
+        col = i % 3
+        row = i // 3
+        org = Affine.translate((8 + col * 124) * k, (8 + row * 124) * k)
+        s.fill(Fill.NON_ZERO, org, g, None,
+               rect_path(0, 0, 116 * k, 116 * k))
+    return s
+
+
+def blend_grid(size: float = 256.0) -> Scene:
+    """All mix modes over a colorful backdrop (reference: blend_grid).
+    Layered — oracle-only until the device layer compositor lands."""
+    s = Scene()
+    k = size / 256.0
+    mixes = [Mix.NORMAL, Mix.MULTIPLY, Mix.SCREEN, Mix.OVERLAY, Mix.DARKEN,
+             Mix.LIGHTEN, Mix.COLOR_DODGE, Mix.COLOR_BURN, Mix.HARD_LIGHT,
+             Mix.SOFT_LIGHT, Mix.DIFFERENCE, Mix.EXCLUSION, Mix.HUE,
+             Mix.SATURATION, Mix.COLOR, Mix.LUMINOSITY]
+    cell = 64 * k
+    for i, m in enumerate(mixes):
+        cx = (i % 4) * cell
+        cy = (i // 4) * cell
+        t = Affine.translate(cx, cy)
+        g = Gradient.linear((0, 0), (cell, 0),
+                            stops(palette.RED, palette.YELLOW, palette.LIME))
+        s.fill(Fill.NON_ZERO, t, g, None, rect_path(2, 2, cell - 2, cell - 2))
+        s.push_layer(BlendMode(m, Compose.SRC_OVER), 1.0, t,
+                     rect_path(2, 2, cell - 2, cell - 2))
+        g2 = Gradient.linear((0, 0), (0, cell),
+                             stops(palette.BLUE, palette.MAGENTA))
+        s.fill(Fill.NON_ZERO, t, g2, None,
+               circle_path(cell / 2, cell / 2, cell * 0.42))
+        s.pop_layer()
+    return s
+
+
+def many_clips(size: float = 256.0, n: int = 12) -> Scene:
+    s = Scene()
+    k = size / 256.0
+    rng = np.random.default_rng(42)
+    for i in range(n):
+        cx, cy = rng.uniform(30, 226, 2) * k
+        s.push_clip_layer(Affine.identity(),
+                          star_path(cx, cy, 5 + i % 4, 12 * k, 34 * k))
+        g = Gradient.linear((cx - 30 * k, cy), (cx + 30 * k, cy),
+                            stops(COLORS[i % 12], COLORS[(i + 5) % 12]))
+        s.fill(Fill.NON_ZERO, Affine.identity(), g, None,
+               rect_path(0, 0, size, size))
+        s.pop_layer()
+    return s
+
+
+def deep_blend(size: float = 256.0, depth: int = 8) -> Scene:
+    """Nested layers with alpha (reference: deep_blend)."""
+    s = Scene()
+    k = size / 256.0
+    for i in range(depth):
+        r = (120 - 12 * i) * k
+        s.push_layer(BlendMode(Mix.NORMAL, Compose.SRC_OVER), 0.85,
+                     Affine.identity(), circle_path(128 * k, 128 * k, r))
+        s.fill(Fill.NON_ZERO, Affine.identity(), COLORS[i % 12], None,
+               rect_path(0, 0, size, size))
+    for _ in range(depth):
+        s.pop_layer()
+    return s
+
+
+def many_draw_objects(size: float = 1024.0, n: int = 4096) -> Scene:
+    s = Scene()
+    rng = np.random.default_rng(9)
+    for i in range(n):
+        x, y = rng.uniform(0, size, 2)
+        r = rng.uniform(2, 10)
+        c = COLORS[i % 12].with_alpha(0.8)
+        s.fill(Fill.NON_ZERO, Affine.identity(), c, None,
+               rect_path(x - r, y - r, x + r, y + r))
+    return s
+
+
+def mmark(complexity: int = 1, size: float = 1024.0,
+          seed: int = 1) -> Scene:
+    """MotionMark-style stroke soup (reference: examples/scenes/src/mmark.rs).
+
+    complexity n => ~n*1000 curved stroked path elements grouped into
+    multi-segment paths, mixed quads/cubics/lines, varying widths.
+    """
+    n_elems = complexity * 1000
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    width, height = size, size * 0.75
+    gp = rng.uniform([0, 0], [width, height], size=(2,))
+    SEGS_PER_PATH = 8
+    i = 0
+    while i < n_elems:
+        p = BezPath().move_to(*gp)
+        cnt = min(SEGS_PER_PATH, n_elems - i)
+        for _ in range(cnt):
+            kind = rng.integers(0, 3)
+            q = rng.uniform([0, 0], [width, height], size=(3, 2))
+            if kind == 0:
+                p.line_to(*q[0])
+                gp = q[0]
+            elif kind == 1:
+                p.quad_to(*q[0], *q[1])
+                gp = q[1]
+            else:
+                p.curve_to(*q[0], *q[1], *q[2])
+                gp = q[2]
+        i += cnt
+        c = COLORS[int(rng.integers(0, 12))].with_alpha(0.7)
+        w = float(rng.uniform(1.0, 6.0))
+        s.stroke(Stroke(width=w, join="bevel", start_cap="butt",
+                        end_cap="butt"), Affine.identity(), c, None, p)
+    return s
+
+
+def filled_mmark(complexity: int = 1, size: float = 1024.0,
+                 seed: int = 2) -> Scene:
+    """Fill-heavy variant: many small curved blobs (no stroke expansion on
+    the host, so the whole flatten load hits the device)."""
+    n = complexity * 1000
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    width, height = size, size * 0.75
+    for i in range(n):
+        cx, cy = rng.uniform([20, 20], [width - 20, height - 20])
+        r = rng.uniform(3, 14)
+        p = BezPath().move_to(cx + r, cy)
+        kk = 0.5523 * r
+        p.curve_to(cx + r, cy + kk, cx + kk, cy + r, cx, cy + r)
+        p.curve_to(cx - kk, cy + r, cx - r, cy + kk, cx - r, cy)
+        p.curve_to(cx - r, cy - kk, cx - kk, cy - r, cx, cy - r)
+        p.curve_to(cx + kk, cy - r, cx + r, cy - kk, cx + r, cy)
+        p.close()
+        c = COLORS[i % 12].with_alpha(0.8)
+        s.fill(Fill.NON_ZERO, Affine.identity(), c, None, p)
+    return s
+
+
+def splash(size: float = 256.0) -> Scene:
+    """Mixed-feature splash scene (device-compatible: no layers)."""
+    s = Scene()
+    k = size / 256.0
+    g = Gradient.linear((0, 0), (0, size),
+                        stops(Color.from_hex("#1a2a6c"),
+                              Color.from_hex("#b21f1f"),
+                              Color.from_hex("#fdbb2d")))
+    s.fill(Fill.NON_ZERO, Affine.identity(), g, None,
+           rect_path(0, 0, size, size))
+    s.fill(Fill.EVEN_ODD, Affine.rotate_about(0.3, 128 * k, 110 * k),
+           palette.WHITE.with_alpha(0.9), None,
+           star_path(128 * k, 110 * k, 8, 40 * k, 85 * k))
+    rg = Gradient.radial((128 * k, 110 * k), 42 * k,
+                         stops(palette.YELLOW, palette.TOMATO))
+    s.fill(Fill.NON_ZERO, Affine.identity(), rg, None,
+           circle_path(128 * k, 110 * k, 40 * k))
+    s.stroke(Stroke(width=4 * k).with_dashes(0, [10 * k, 5 * k]),
+             Affine.identity(), palette.WHITE, None,
+             circle_path(128 * k, 110 * k, 100 * k))
+    for i in range(10):
+        a = i * 2 * math.pi / 10
+        x = 128 * k + 100 * k * math.cos(a)
+        y = 110 * k + 100 * k * math.sin(a)
+        s.fill(Fill.NON_ZERO, Affine.identity(), COLORS[i % 12], None,
+               circle_path(x, y, 7 * k))
+    return s
+
+
+# Scenes safe for the device pipeline today (no layers):
+DEVICE_SCENES = {
+    "funky_paths": funky_paths,
+    "fill_types": fill_types,
+    "stroke_styles": stroke_styles,
+    "tricky_strokes": tricky_strokes,
+    "gradient_suite": gradient_suite,
+    "splash": splash,
+}
+# Scenes requiring the layer compositor (oracle today):
+LAYER_SCENES = {
+    "blend_grid": blend_grid,
+    "many_clips": many_clips,
+    "deep_blend": deep_blend,
+}
