@@ -45,21 +45,23 @@ def main():
 
     t0 = time.time()
     img, overflow = fn(bufs)
-    img.block_until_ready()
+    # NOTE: block_until_ready does not actually wait on the axon tunnel —
+    # fetching a scalar is the reliable device-sync here.
+    _sync = int(jax.device_get(overflow))
     compile_s = time.time() - t0
-    if int(jax.device_get(overflow)) != 0:
+    if _sync != 0:
         print(json.dumps({"metric": "error", "value": -1, "unit": "",
                           "vs_baseline": 0,
                           "note": f"overflow {int(jax.device_get(overflow))}"}))
         return
 
     for _ in range(WARMUP):
-        img, _ = fn(bufs)
-    img.block_until_ready()
+        img, overflow = fn(bufs)
+    int(jax.device_get(overflow))  # drain queue
     t0 = time.time()
     for _ in range(ITERS):
         img, overflow = fn(bufs)
-    img.block_until_ready()
+    int(jax.device_get(overflow))  # device sync
     dt = (time.time() - t0) / ITERS
     fps = 1.0 / dt
     n_paths = rs.n_paths

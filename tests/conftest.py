@@ -18,6 +18,16 @@ if "host_platform_device_count" not in flags:
     # tests needing 8 devices fall back to a subprocess with this env set.
     os.environ["XLA_FLAGS"] = (flags + " " + _FLAG).strip()
 
+try:
+    # Effective even though sitecustomize preloaded jaxlib: the backend is
+    # only selected at first use. (XLA_FLAGS, in contrast, is captured at
+    # jaxlib import — hence the subprocess fallback in test_parallel.)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

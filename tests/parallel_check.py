@@ -47,7 +47,7 @@ def main():
     for i, r in enumerate(resolved):
         ref = single.render_resolved(r, params)
         d = np.abs(imgs[i, :128, :128] - ref)
-        assert d.max() < 1e-5, f"scene {i}: max {d.max()}"
+        assert d.max() < 1e-4, f"scene {i}: max {d.max()}"
     print("parallel_check OK")
 
 

@@ -66,6 +66,7 @@ class ResolvedScene:
     image_rec: np.ndarray     # (P, 8) f32: atlas x,y,w,h, xext, yext, qual, alpha
     blur_rec: np.ndarray      # (P, 8) f32: x0,y0,x1,y1, radius, std_dev
     path_kind: np.ndarray     # (P,) i32: 0 draw, 1 clip-begin
+    path_rect: np.ndarray     # (P, 4) i32 clamped tile-space bbox (host hull)
     # resources
     ramps: np.ndarray         # (R, 512, 4) straight f32
     atlas: np.ndarray         # (Ha, Wa, 4) premultiplied f32
@@ -161,7 +162,7 @@ def _estimate(decoded, transforms, params: RenderParams):
     t = decoded["transform"].astype(np.float64)     # (S, 6)
     n = len(kind)
     if n == 0:
-        return 0, 0, 0
+        return 0, 0, 0, np.zeros((0, 4), np.int32)
     # Transform control points.
     x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] + t[:, None, 4]
     y = pts[..., 0] * t[:, None, 1] + pts[..., 1] * t[:, None, 3] + t[:, None, 5]
@@ -209,9 +210,15 @@ def _estimate(decoded, transforms, params: RenderParams):
     ty0 = np.clip(np.floor(miny[:n_paths] / TILE_H), 0, params.height_tiles)
     tx1 = np.clip(np.ceil(maxx[:n_paths] / TILE_W), 0, wt1)
     ty1 = np.clip(np.ceil(maxy[:n_paths] / TILE_H), 0, params.height_tiles)
+    ty1 = np.maximum(ty1, ty0)
+    tx1 = np.maximum(tx1, tx0)
+    empty = ~np.isfinite(minx[:n_paths]) | (minx[:n_paths] > maxx[:n_paths])
+    rect = np.stack([tx0, ty0, tx1, ty1], axis=-1).astype(np.int32)
+    rect[empty] = 0
     areas = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
+    areas[empty] = 0
     est_path_tiles = int(areas.sum()) + n_paths
-    return est_lines, est_touches, est_path_tiles
+    return est_lines, est_touches, est_path_tiles, rect
 
 
 def resolve(encoding: Encoding, params: RenderParams) -> ResolvedScene:
@@ -320,8 +327,11 @@ def resolve(encoding: Encoding, params: RenderParams) -> ResolvedScene:
             paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
                                       dtype=np.float32)
 
-    est_lines, est_touches, est_path_tiles = _estimate(
+    est_lines, est_touches, est_path_tiles, path_rect = _estimate(
         decoded, transforms, params)
+    if len(path_rect) < P:
+        path_rect = np.concatenate(
+            [path_rect, np.zeros((P - len(path_rect), 4), np.int32)])
 
     return ResolvedScene(
         tags=tags, data=data, transforms=transforms, styles=styles,
@@ -329,7 +339,7 @@ def resolve(encoding: Encoding, params: RenderParams) -> ResolvedScene:
         draw_kind=draw_kind, draw_path_ix=draw_path_ix, layers=layers,
         paint_kind=paint_kind, fill_rule=fill_rule, color=color,
         grad_rec=grad_rec, paint_inv=paint_inv, image_rec=image_rec,
-        blur_rec=blur_rec, path_kind=path_kind,
+        blur_rec=blur_rec, path_kind=path_kind, path_rect=path_rect,
         ramps=ramp_cache.array(), atlas=atlas.array(),
         est_lines=est_lines, est_touches=est_touches,
         est_path_tiles=est_path_tiles)

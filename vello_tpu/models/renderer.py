@@ -44,6 +44,7 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         "image_rec": _pad(rs.image_rec, caps.n_paths),
         "blur_rec": _pad(rs.blur_rec, caps.n_paths),
         "path_kind": _pad(rs.path_kind, caps.n_paths),
+        "path_rect": _pad(rs.path_rect, caps.n_paths),
         "ramps": rs.ramps,
         "atlas": rs.atlas,
         "base_color": np.asarray(params.base_color, dtype=np.float32),
@@ -57,11 +58,6 @@ class Renderer:
         self.max_retries = max_retries
 
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
-        if scene.encoding.n_open_layers or any(
-                r.kind in (3, 4) for r in scene.encoding.draws):
-            raise NotImplementedError(
-                "device pipeline layer support lands via the layered "
-                "compositor; use OracleRenderer for layered scenes")
         rs = resolve(scene.encoding, params)
         return self.render_resolved(rs, params)
 
@@ -69,12 +65,21 @@ class Renderer:
                         params: RenderParams) -> np.ndarray:
         caps = rs.capacities(params)
         kinds = tuple(sorted(set(int(k) for k in rs.paint_kind)))
+        has_layers = any(k in (3, 4) for k in rs.draw_kind)
+        if has_layers:
+            from ..pipeline.layered import (build_layer_plan,
+                                            get_layered_pipeline)
+            plan, plan_dyn = build_layer_plan(rs)
         for attempt in range(self.max_retries + 1):
             static = PipelineStatic(
                 caps_key=caps.key(), width=params.width,
                 height=params.height, kinds_present=kinds)
             bufs = pack_buffers(rs, caps, params)
-            img, overflow = get_pipeline(static)(bufs)
+            if has_layers:
+                img, overflow = get_layered_pipeline(static, plan)(
+                    bufs, plan_dyn)
+            else:
+                img, overflow = get_pipeline(static)(bufs)
             overflow = int(jax.device_get(overflow))
             if overflow == 0:
                 return np.asarray(jax.device_get(img))

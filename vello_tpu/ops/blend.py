@@ -26,16 +26,24 @@ def _screen(xp, cb, cs):
     return cb + cs - cb * cs
 
 
+# Discontinuity guard for dodge/burn: the spec compares cb/cs against exact
+# 0/1, but f32 coverage accumulation leaves ~1e-5 residue around both, which
+# flips the discontinuous branch on anti-aliased interiors. 1e-4 keeps the
+# branch decision stable across f32 (device) and f64 (oracle).
+_EDGE = 1e-4
+
+
 def _color_dodge(xp, cb, cs):
     return xp.where(
-        cb <= 0.0, 0.0,
-        xp.where(cs >= 1.0, 1.0, xp.minimum(1.0, cb / xp.maximum(1.0 - cs, 1e-12))))
+        cb <= _EDGE, 0.0,
+        xp.where(cs >= 1.0 - _EDGE, 1.0,
+                 xp.minimum(1.0, cb / xp.maximum(1.0 - cs, 1e-12))))
 
 
 def _color_burn(xp, cb, cs):
     return xp.where(
-        cb >= 1.0, 1.0,
-        xp.where(cs <= 0.0, 0.0,
+        cb >= 1.0 - _EDGE, 1.0,
+        xp.where(cs <= _EDGE, 0.0,
                  1.0 - xp.minimum(1.0, (1.0 - cb) / xp.maximum(cs, 1e-12))))
 
 

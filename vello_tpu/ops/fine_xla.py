@@ -179,17 +179,33 @@ def composite_srcover(src, alpha, gtile, n_gtiles, base_color):
     alpha: (N, H, W) fragment alpha. gtile: (N,) sorted global tile ids
     (invalid = n_gtiles). Returns (n_gtiles, H, W, 4).
     """
+    from .segmented import segment_suffix_sum_sorted, segment_sum_sorted
     w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
-    c = jnp.cumsum(w, axis=0)
-    # suffix sum within each tile segment: s_i = c[seg_end] - c[i]
-    seg_end = jnp.searchsorted(gtile, gtile, side="right") - 1
-    seg_end = jnp.clip(seg_end, 0, len(gtile) - 1)
-    s = c[seg_end] - c
-    t = jnp.exp(s)
+    s = segment_suffix_sum_sorted(w, gtile)
+    t = _transmittance(s)
     contrib = src * t[..., None]
-    tiles = jax.ops.segment_sum(contrib, gtile, num_segments=n_gtiles + 1,
-                                indices_are_sorted=True)[:n_gtiles]
-    w_tot = jax.ops.segment_sum(w, gtile, num_segments=n_gtiles + 1,
-                                indices_are_sorted=True)[:n_gtiles]
-    t_tot = jnp.exp(w_tot)
+    tiles = segment_sum_sorted(contrib, gtile, n_gtiles)
+    w_tot = segment_sum_sorted(w, gtile, n_gtiles)
+    t_tot = _transmittance(w_tot)
     return tiles + base_color[None, None, None, :] * t_tot[..., None]
+
+
+def _transmittance(log_sum):
+    """exp with a hard zero below the opacity threshold: a fragment with
+    alpha >= 1-1e-7 must FULLY occlude (a 1e-9 leak flips discontinuous
+    blend modes like color-dodge at cb==0)."""
+    return jnp.where(log_sum <= -16.0, 0.0, jnp.exp(log_sum))
+
+
+def composite_srcover_over(src, alpha, gtile, bg_tiles):
+    """Same as composite_srcover but over an existing per-tile backdrop
+    buffer (n_gtiles, H, W, 4) — the layered compositor's 'draws' op."""
+    from .segmented import segment_suffix_sum_sorted, segment_sum_sorted
+    n_gtiles = bg_tiles.shape[0]
+    w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+    s = segment_suffix_sum_sorted(w, gtile)
+    t = _transmittance(s)
+    tiles = segment_sum_sorted(src * t[..., None], gtile, n_gtiles)
+    w_tot = segment_sum_sorted(w, gtile, n_gtiles)
+    t_tot = _transmittance(w_tot)
+    return tiles + bg_tiles * t_tot[..., None]

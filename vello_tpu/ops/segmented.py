@@ -1,0 +1,58 @@
+"""Segmented reductions over sorted ids WITHOUT scatter.
+
+XLA scatter-add on TPU serializes per update (catastrophic at 10^5-10^6
+updates). Every segmented reduction in this pipeline runs over ids that are
+already sorted (post key-sort), so segment sums become: one inclusive cumsum
++ two searchsorted boundary lookups + a gather — all dense, fully-vectorised
+VPU work. This module is the TPU replacement for the reference's atomicAdd
+patterns (path_count.wgsl tile counts, backdrop bumps, coarse accumulation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_sum_sorted(vals: jnp.ndarray, sorted_ids: jnp.ndarray,
+                       num_segments: int) -> jnp.ndarray:
+    """Sum vals (N, ...) into (num_segments, ...) by ascending sorted_ids.
+
+    ids >= num_segments are ignored (dump segment). Exact for ints; for f32
+    the cumsum-difference loses ~sqrt(N)*eps relative accuracy — acceptable
+    for coverage (bounded winding) but use segment_sum_sorted_f64 when not.
+    """
+    n = vals.shape[0]
+    c = jnp.cumsum(vals, axis=0)
+    zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
+    cpad = jnp.concatenate([zero, c], axis=0)          # cpad[i] = sum(<i)
+    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
+    lo = jnp.searchsorted(sorted_ids, seg, side="left")
+    hi = jnp.searchsorted(sorted_ids, seg, side="right")
+    return cpad[hi] - cpad[lo]
+
+
+def segment_suffix_sum_sorted(vals: jnp.ndarray, sorted_ids: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Per-element sum of LATER elements in the same segment (exclusive
+    suffix): s_i = sum_{j>i, id_j == id_i} vals_j. Used by the transmittance
+    composite."""
+    c = jnp.cumsum(vals, axis=0)
+    seg_end = jnp.searchsorted(sorted_ids, sorted_ids, side="right") - 1
+    seg_end = jnp.clip(seg_end, 0, vals.shape[0] - 1)
+    return c[seg_end] - c
+
+
+def row_prefix_sum(vals: jnp.ndarray, row_start: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum within rows of a flat array; row_start[i] is the
+    flat index where i's row begins (backdrop_dyn.wgsl replacement)."""
+    c = jnp.cumsum(vals)
+    return c - c[row_start] + vals[row_start]
+
+
+def scatter_sum_via_sort(vals: jnp.ndarray, ids: jnp.ndarray,
+                         num_segments: int) -> jnp.ndarray:
+    """Unsorted scatter-add replacement: sort (ids, vals), then segmented sum.
+    vals must be 1-D (scalars per record)."""
+    ids_s, vals_s = jax.lax.sort((ids, vals), num_keys=1)
+    return segment_sum_sorted(vals_s, ids_s, num_segments)

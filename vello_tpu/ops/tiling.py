@@ -37,12 +37,37 @@ def _span(a, b):
                        - jnp.floor(jnp.minimum(a, b)), 1.0)
 
 
+def tile_alloc(path_rect, width_tiles, height_tiles):
+    """Flat-tile allocation from host-computed per-path tile rects.
+
+    The reference computes path bboxes with atomics in flatten.wgsl:831-923
+    then allocates in tile_alloc.wgsl. On TPU the control-hull bbox is
+    computed host-side by the resolver (conservative superset of the curve
+    bbox, so every touch lands inside) and allocation is one cumsum here —
+    no segment_min/max scatter on device.
+    """
+    tx0 = jnp.clip(path_rect[:, 0], 0, width_tiles)
+    ty0 = jnp.clip(path_rect[:, 1], 0, height_tiles)
+    tx1 = jnp.clip(path_rect[:, 2], tx0, width_tiles)
+    ty1 = jnp.clip(path_rect[:, 3], ty0, height_tiles)
+    w = tx1 - tx0
+    h = ty1 - ty0
+    areas = w * h
+    incl = jnp.cumsum(areas)
+    base = incl - areas
+    return {
+        "tx0": tx0, "ty0": ty0, "tx1": tx1, "ty1": ty1,
+        "stride": w, "rows": h, "base": base, "areas": areas,
+        "total_tiles": incl[-1] if len(areas) else jnp.int32(0),
+    }
+
+
 def path_tile_rects(lines, edge_lines, line_path, edge_path, n_paths_cap,
                     width_tiles, height_tiles):
     """Per-path clamped tile-space bounding rects + flat-tile allocation.
 
-    Plays the role of the path bbox atomics in flatten.wgsl:831-923 plus
-    tile_alloc.wgsl: bbox via segment min/max, allocation via cumsum.
+    Device-side variant using segment min/max (slow on TPU — kept for
+    CPU-mesh use and as the reference implementation of tile_alloc's input).
     """
     allx = jnp.concatenate([lines[:, 0], lines[:, 2],
                             edge_lines[:, 0], edge_lines[:, 2]])
@@ -247,14 +272,14 @@ def make_touches(lines, line_path, rects, n_touch_cap):
 
 
 def backdrop_prefix(backdrop_idx, backdrop_val, rects, n_tile_cap):
-    """Scatter backdrop deltas and prefix-sum along each tile row.
+    """Accumulate backdrop deltas and prefix-sum along each tile row.
 
-    Replaces path_count's atomicAdd + backdrop_dyn's per-row loop.
+    Replaces path_count's atomicAdd + backdrop_dyn's per-row loop. The
+    scatter-add is realised as sort + segmented sum (TPU scatter serializes).
     """
-    acc = jnp.zeros(n_tile_cap + 1, dtype=jnp.int32)
+    from .segmented import scatter_sum_via_sort
     idx = jnp.clip(backdrop_idx, 0, n_tile_cap)
-    acc = acc.at[idx].add(backdrop_val)
-    acc = acc[:n_tile_cap]
+    acc = scatter_sum_via_sort(backdrop_val, idx, n_tile_cap)
     # Row starts: flat tile t belongs to path p = searchsorted(base_incl, t);
     # its row start is base[p] + row * stride[p].
     t = jnp.arange(n_tile_cap, dtype=jnp.int32)

@@ -7,23 +7,25 @@ replace ``BumpAllocators.failed`` and drive the host-side retry-at-next-tier
 loop (the reference's robust-memory protocol, ``vello/src/lib.rs:717-783``).
 
 Stage order (TPU formulation of the classic pipeline, SURVEY.md §2.2):
-  pathtag cumsum-scan -> decode -> flatten(+viewport clip) -> path bboxes &
-  tile alloc (segment min/max + cumsum) -> touch expansion (DDA closed form)
-  -> backdrop scatter + row prefix -> touch sort -> per-fragment winding ->
-  fill rule -> paint -> (gtile, order) sort -> transmittance composite.
+  pathtag cumsum-scan -> decode -> flatten(+viewport clip) -> tile alloc
+  (host hull rects + cumsum) -> touch expansion (DDA closed form) ->
+  backdrop sort+segmented-sum + row prefix -> touch sort -> per-fragment
+  winding -> fill rule -> paint -> (gtile, order) sort -> transmittance
+  composite. No scatter ops anywhere (TPU scatter serializes).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..encoding.config import Capacities, TILE_H, TILE_W
 from ..ops import fine_xla, flatten as flatten_ops, pathtag, tiling
+from ..ops.segmented import segment_sum_sorted
 
 
 @dataclass(frozen=True)
@@ -42,24 +44,22 @@ class PipelineStatic:
         return (self.height + TILE_H - 1) // TILE_H
 
 
-def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
-    """bufs: dict of padded device arrays (see models/renderer.py pack()).
+def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
+                      keep_clip_paths: bool = False):
+    """Run geometry + fine stages; return sorted per-fragment data.
 
-    stripe: optional (ty_lo, ht_local) — composite only the tile rows
-    [ty_lo, ty_lo + ht_local) and return that horizontal stripe of the image
-    (the sequence-parallel axis for multi-chip rendering; ty_lo may be a
-    traced value, ht_local must be static).
-
-    Returns (image (H, W, 4) premultiplied f32, overflow flags i32).
+    Fragments = (path, touched-tile) pairs (the reference's Tile records),
+    sorted by (local gtile, draw order). keep_clip_paths keeps clip-shape
+    fragments' coverage (the layered compositor needs it); their paint alpha
+    is zeroed so they never draw directly.
     """
     caps = Capacities(*static.caps_key)
     H = float(static.height)
     WT, HT = static.width_tiles, static.height_tiles
-    # Allocate one extra tile column so the x-clamp boundary (which deforms
-    # crossing geometry) sits outside the visible area.
+    # One extra tile column so the x-clamp boundary (which deforms crossing
+    # geometry) sits outside the visible area.
     WT_alloc = WT + 1
     W = float(WT_alloc * TILE_W)
-    n_gtiles = WT * HT
 
     decoded = pathtag.decode_and_transform(
         bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"])
@@ -69,9 +69,7 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
     lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
     lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
 
-    rects = tiling.path_tile_rects(
-        fl["lines"], fl["edge_lines"], fl["line_path"], fl["edge_path"],
-        caps.n_paths, WT_alloc, HT)
+    rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
                       ).astype(jnp.int32)
 
@@ -87,16 +85,17 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
     yedge_s = touches["y_edge"][tix_s]
     cov = fine_xla.coverage_delta(seg_s, yedge_s)
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
-    frag_cov = jax.ops.segment_sum(
-        cov, seg_ids, num_segments=caps.n_path_tiles + 1,
-        indices_are_sorted=True)[:caps.n_path_tiles]
+    frag_cov = segment_sum_sorted(cov, seg_ids, caps.n_path_tiles)
 
     # --- per flat tile metadata ---
     t = jnp.arange(caps.n_path_tiles, dtype=jnp.int32)
     incl = rects["base"] + rects["areas"]
     tpath = jnp.searchsorted(incl, t, side="right").astype(jnp.int32)
     tpath = jnp.clip(tpath, 0, caps.n_paths - 1)
-    tvalid = (t < rects["total_tiles"]) & (bufs["path_kind"][tpath] == 0)
+    is_clip = bufs["path_kind"][tpath] != 0
+    tvalid = t < rects["total_tiles"]
+    if not keep_clip_paths:
+        tvalid = tvalid & ~is_clip
     stride = jnp.maximum(rects["stride"][tpath], 1)
     rel = t - rects["base"][tpath]
     tx = rects["tx0"][tpath] + rel % stride
@@ -114,8 +113,10 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
         bufs["image_rec"][tpath], bufs["blur_rec"][tpath],
         bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
     src = src * coverage[..., None]
+    if keep_clip_paths:
+        src = jnp.where(is_clip[:, None, None, None], 0.0, src)
 
-    # --- composite: sort fragments by (global tile, draw order) ---
+    # --- sort fragments by (local gtile, draw order) ---
     if stripe is None:
         ty_lo, ht_local = 0, HT
     else:
@@ -123,23 +124,48 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
     n_loc = WT * ht_local
     owned = tvalid & (tx < WT) & (ty >= ty_lo) & (ty < ty_lo + ht_local)
     gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
-    g_s, _, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
+    g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
     src_s = src[fidx_s]
-    alpha_s = src_s[..., 3]
-    base = bufs["base_color"]
-    base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
-    tiles = fine_xla.composite_srcover(src_s, alpha_s, g_s, n_loc,
-                                       base_premul)
+    overflow = fl["overflow"] + 4 * touches["overflow"] + 8 * overflow_tiles
+    out = {
+        "g_s": g_s,                    # sorted local gtile per fragment
+        "tpath_s": tpath_s,            # owning path (draw order key)
+        "src_s": src_s,                # premultiplied paint*coverage
+        "alpha_s": src_s[..., 3],
+        "n_loc": n_loc,
+        "ht_local": ht_local,
+        "WT": WT,
+        "overflow": overflow,
+    }
+    if keep_clip_paths:
+        out["coverage_s"] = coverage[fidx_s]
+    return out
 
+
+def _tiles_to_image(tiles, static, ht_local, crop_h: bool):
+    WT = static.width_tiles
     img = tiles.reshape(ht_local, WT, TILE_H, TILE_W, 4)
     img = img.transpose(0, 2, 1, 3, 4).reshape(ht_local * TILE_H,
                                                WT * TILE_W, 4)
-    if stripe is None:
+    if crop_h:
         img = img[:static.height, :static.width]
     else:
         img = img[:, :static.width]
-    overflow = fl["overflow"] + 4 * touches["overflow"] + 8 * overflow_tiles
-    return img, overflow
+    return img
+
+
+def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
+    """Fast path: src-over-only scene (no layers).
+
+    Returns (image (H, W, 4) premultiplied f32, overflow flags i32).
+    """
+    fr = prepare_fragments(bufs, static, stripe)
+    base = bufs["base_color"]
+    base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
+    tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
+                                       fr["g_s"], fr["n_loc"], base_premul)
+    img = _tiles_to_image(tiles, static, fr["ht_local"], stripe is None)
+    return img, fr["overflow"]
 
 
 _JIT_CACHE = {}
