@@ -1,10 +1,8 @@
-"""Stage-level TPU profiling: time cumulative pipeline prefixes to locate
-the hot stages (role of wgpu-profiler per-dispatch timers in the reference).
+"""Stage-level TPU profiling of the real pipeline (cumulative prefixes).
 
 Usage: python tools/profile_stages.py [complexity] [size]
 """
 
-import json
 import sys
 import time
 
@@ -22,6 +20,7 @@ def main():
     from vello_tpu.encoding.resolve import resolve
     from vello_tpu.models.renderer import pack_buffers
     from vello_tpu.ops import fine_xla, flatten as fo, pathtag, tiling
+    from vello_tpu.ops.segmented import segment_sum_sorted
     from vello_tpu.pipeline.render import PipelineStatic, render_frame
     from vello_tpu.scenes.test_scenes import filled_mmark
 
@@ -37,106 +36,67 @@ def main():
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))))
     bufs = {k: jax.device_put(np.asarray(v))
             for k, v in pack_buffers(rs, caps, params).items()}
-    WT, HT = static.width_tiles + 1, static.height_tiles
+    WT_alloc = static.width_tiles + 1
+    HT = static.height_tiles
+    W = float(WT_alloc * TILE_W)
 
-    def upto_decode(bufs):
-        d = pathtag.decode_and_transform(bufs["tags"], bufs["data"],
-                                         bufs["transforms"], bufs["styles"])
-        return d["points"].sum()
+    def upto(stage):
+        def fn(bufs):
+            d = pathtag.decode_and_transform(
+                bufs["tags"], bufs["data"], bufs["transforms"],
+                bufs["styles"])
+            if stage == "decode":
+                return d["points"].sum()
+            fl = fo.flatten(d, caps.n_lines, max(caps.n_lines // 4, 256),
+                            W, float(size))
+            if stage == "flatten":
+                return fl["lines"].sum() + fl["edge_lines"].sum()
+            lines = jnp.concatenate([fl["lines"], fl["edge_lines"]])
+            lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]])
+            rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
+            t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
+            if stage == "touches":
+                return t["seg"].sum() + t["ftile"].sum()
+            bd = tiling.backdrop_prefix(t["backdrop_idx"], t["backdrop_val"],
+                                        rects, caps.n_path_tiles)
+            if stage == "backdrop":
+                return bd.sum() + t["seg"].sum()
+            tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
+            f_s, tix_s = jax.lax.sort((t["ftile"], tix), num_keys=1)
+            seg_s = t["seg"][tix_s]
+            if stage == "sort":
+                return f_s.sum() + seg_s.sum() + bd.sum()
+            cov = fine_xla.coverage_delta(seg_s, t["y_edge"][tix_s])
+            ids = jnp.clip(f_s, 0, caps.n_path_tiles)
+            fc = segment_sum_sorted(cov, ids, caps.n_path_tiles)
+            if stage == "coverage":
+                return fc.sum() + bd.sum()
+            raise ValueError(stage)
+        return fn
 
-    def upto_flatten(bufs):
-        d = pathtag.decode_and_transform(bufs["tags"], bufs["data"],
-                                         bufs["transforms"], bufs["styles"])
-        fl = fo.flatten(d, caps.n_lines, caps.n_lines // 4,
-                        float(WT * TILE_W), float(size))
-        return fl["lines"].sum() + fl["edge_lines"].sum()
-
-    def upto_touches(bufs):
-        d = pathtag.decode_and_transform(bufs["tags"], bufs["data"],
-                                         bufs["transforms"], bufs["styles"])
-        fl = fo.flatten(d, caps.n_lines, caps.n_lines // 4,
-                        float(WT * TILE_W), float(size))
-        lines = jnp.concatenate([fl["lines"], fl["edge_lines"]])
-        lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]])
-        rects = tiling.path_tile_rects(fl["lines"], fl["edge_lines"],
-                                       fl["line_path"], fl["edge_path"],
-                                       caps.n_paths, WT, HT)
-        t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
-        return t["seg"].sum() + t["ftile"].sum()
-
-    def upto_backdrop(bufs):
-        d = pathtag.decode_and_transform(bufs["tags"], bufs["data"],
-                                         bufs["transforms"], bufs["styles"])
-        fl = fo.flatten(d, caps.n_lines, caps.n_lines // 4,
-                        float(WT * TILE_W), float(size))
-        lines = jnp.concatenate([fl["lines"], fl["edge_lines"]])
-        lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]])
-        rects = tiling.path_tile_rects(fl["lines"], fl["edge_lines"],
-                                       fl["line_path"], fl["edge_path"],
-                                       caps.n_paths, WT, HT)
-        t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
-        bd = tiling.backdrop_prefix(t["backdrop_idx"], t["backdrop_val"],
-                                    rects, caps.n_path_tiles)
-        return bd.sum() + t["seg"].sum()
-
-    def upto_sort(bufs):
-        d = pathtag.decode_and_transform(bufs["tags"], bufs["data"],
-                                         bufs["transforms"], bufs["styles"])
-        fl = fo.flatten(d, caps.n_lines, caps.n_lines // 4,
-                        float(WT * TILE_W), float(size))
-        lines = jnp.concatenate([fl["lines"], fl["edge_lines"]])
-        lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]])
-        rects = tiling.path_tile_rects(fl["lines"], fl["edge_lines"],
-                                       fl["line_path"], fl["edge_path"],
-                                       caps.n_paths, WT, HT)
-        t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
-        bd = tiling.backdrop_prefix(t["backdrop_idx"], t["backdrop_val"],
-                                    rects, caps.n_path_tiles)
-        tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
-        f_s, tix_s = jax.lax.sort((t["ftile"], tix), num_keys=1)
-        return f_s.sum() + t["seg"][tix_s].sum() + bd.sum()
-
-    def upto_cov(bufs):
-        d = pathtag.decode_and_transform(bufs["tags"], bufs["data"],
-                                         bufs["transforms"], bufs["styles"])
-        fl = fo.flatten(d, caps.n_lines, caps.n_lines // 4,
-                        float(WT * TILE_W), float(size))
-        lines = jnp.concatenate([fl["lines"], fl["edge_lines"]])
-        lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]])
-        rects = tiling.path_tile_rects(fl["lines"], fl["edge_lines"],
-                                       fl["line_path"], fl["edge_path"],
-                                       caps.n_paths, WT, HT)
-        t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
-        bd = tiling.backdrop_prefix(t["backdrop_idx"], t["backdrop_val"],
-                                    rects, caps.n_path_tiles)
-        tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
-        f_s, tix_s = jax.lax.sort((t["ftile"], tix), num_keys=1)
-        cov = fine_xla.coverage_delta(t["seg"][tix_s], t["y_edge"][tix_s])
-        ids = jnp.clip(f_s, 0, caps.n_path_tiles)
-        fc = jax.ops.segment_sum(cov, ids,
-                                 num_segments=caps.n_path_tiles + 1,
-                                 indices_are_sorted=True)
-        return fc.sum() + bd.sum()
-
-    def full(bufs):
-        img, ov = render_frame(bufs, static)
-        return img.sum()
-
-    stages = [("decode", upto_decode), ("flatten", upto_flatten),
-              ("touches", upto_touches), ("backdrop", upto_backdrop),
-              ("sort", upto_sort), ("coverage", upto_cov), ("full", full)]
+    stages = ["decode", "flatten", "touches", "backdrop", "sort", "coverage"]
     prev = 0.0
-    for name, fn in stages:
-        j = jax.jit(fn)
+    for name in stages:
+        j = jax.jit(upto(name))
         r = j(bufs)
-        float(jax.device_get(r))  # real sync (block_until_ready no-ops on axon)
+        float(jax.device_get(r))
         t0 = time.time()
         for _ in range(5):
             r = j(bufs)
         float(jax.device_get(r))
         dt = (time.time() - t0) / 5
-        print(f"{name:10s} cumulative {dt*1e3:8.2f} ms   (+{(dt-prev)*1e3:8.2f} ms)")
+        print(f"{name:10s} cum {dt*1e3:8.2f} ms  (+{(dt-prev)*1e3:8.2f})",
+              flush=True)
         prev = dt
+    fj = jax.jit(lambda b: render_frame(b, static)[0].sum())
+    r = fj(bufs)
+    float(jax.device_get(r))
+    t0 = time.time()
+    for _ in range(5):
+        r = fj(bufs)
+    float(jax.device_get(r))
+    dt = (time.time() - t0) / 5
+    print(f"{'full':10s} cum {dt*1e3:8.2f} ms  (+{(dt-prev)*1e3:8.2f})")
 
 
 if __name__ == "__main__":

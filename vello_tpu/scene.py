@@ -129,3 +129,20 @@ class Scene:
 
     def append(self, other: "Scene", transform: Optional[Affine] = None):
         self.encoding.append(other.encoding, transform)
+
+    # ------------------------------------------------------------------
+    def draw_glyphs(self, font):
+        """Glyph-run builder (reference: Scene::draw_glyphs,
+        scene.rs:455-470). Returns a DrawGlyphs builder."""
+        from .text import DrawGlyphs
+        return DrawGlyphs(self, font)
+
+    def draw_text(self, text: str, x: float, y: float, size: float,
+                  brush: Brush, transform: Affine = None, font=None) -> None:
+        """Convenience: layout (advances-only) + draw."""
+        from .text import default_font, layout_text
+        font = font or default_font()
+        glyphs = layout_text(font, size, text, (x, y))
+        (self.draw_glyphs(font).font_size(size).brush(brush)
+         .transform(transform or Affine.IDENTITY)
+         .draw(Fill.NON_ZERO, glyphs))

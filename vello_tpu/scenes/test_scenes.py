@@ -321,3 +321,33 @@ LAYER_SCENES = {
     "many_clips": many_clips,
     "deep_blend": deep_blend,
 }
+
+
+def text_scene(size: float = 256.0) -> Scene:
+    """Glyph-run scene (reference: text-heavy scenes, glyph tests)."""
+    s = Scene()
+    k = size / 256.0
+    s.draw_text("The quick brown", 8 * k, 40 * k, 26 * k, palette.WHITE)
+    s.draw_text("fox jumps over", 8 * k, 80 * k, 26 * k, palette.YELLOW)
+    s.draw_text("the lazy dog", 8 * k, 120 * k, 26 * k, palette.CYAN)
+    g = Gradient.linear((0, 140 * k), (size, 140 * k),
+                        stops(palette.RED, palette.MAGENTA, palette.BLUE))
+    s.draw_text("Gradients! 0123456789", 8 * k, 170 * k, 20 * k, g)
+    s.draw_text("tiny 8px text for coverage", 8 * k, 210 * k, 10 * k,
+                palette.LIME)
+    return s
+
+
+def text_heavy(size: float = 1024.0, lines: int = 40) -> Scene:
+    """Paragraph-scale glyph load (the text-heavy benchmark config)."""
+    from ..text import default_font, layout_text
+    s = Scene()
+    font = default_font()
+    msg = ("Sphinx of black quartz, judge my vow. " * 3)
+    for i in range(lines):
+        s.draw_text(msg, 8, 20 + i * (size - 30) / lines, 14, palette.WHITE,
+                    font=font)
+    return s
+
+
+DEVICE_SCENES["text_scene"] = text_scene

@@ -1,0 +1,222 @@
+"""Text: fonts, glyph outlines, glyph caching, and the DrawGlyphs API.
+
+Reference parity: ``vello::DrawGlyphs`` (``vello/src/scene.rs:487-893``), the
+glyph resolver + cache (``vello_encoding/src/glyph_cache.rs``, ``glifo``).
+Font parsing is delegated to fontTools the way the reference delegates to the
+``skrifa`` crate (an external foundation, SURVEY.md §1 L0). Outlines are
+cached per (font, glyph-id) in font units — scaling happens through the
+affine transform, so one cache entry serves every size (the reference caches
+per size because of hinting, which we don't apply).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .kurbo import Affine, BezPath
+from .peniko import Brush, Color, Fill
+
+
+class Font:
+    """A TrueType/OpenType font backed by fontTools."""
+
+    _next_id = [0]
+
+    def __init__(self, path: str):
+        from fontTools.ttLib import TTFont
+
+        self.path = path
+        self.tt = TTFont(path, lazy=True)
+        self.upem = self.tt["head"].unitsPerEm
+        self.glyph_order = self.tt.getGlyphOrder()
+        self._cmap = self.tt.getBestCmap()
+        self._hmtx = self.tt["hmtx"]
+        self._glyph_set = self.tt.getGlyphSet()
+        self.id = Font._next_id[0]
+        Font._next_id[0] += 1
+
+    def glyph_id(self, ch: str) -> int:
+        name = self._cmap.get(ord(ch))
+        if name is None:
+            return 0
+        return self.tt.getGlyphID(name)
+
+    def advance(self, gid: int) -> float:
+        name = self.glyph_order[gid]
+        return self._hmtx[name][0]
+
+    def line_metrics(self) -> Tuple[float, float, float]:
+        """(ascent, descent, line_gap) in font units."""
+        hhea = self.tt["hhea"]
+        return hhea.ascent, hhea.descent, hhea.lineGap
+
+
+class _PathPen:
+    """fontTools pen that records into a BezPath (y-up font space)."""
+
+    def __init__(self):
+        self.path = BezPath()
+
+    def moveTo(self, p):
+        self.path.move_to(p[0], p[1])
+
+    def lineTo(self, p):
+        self.path.line_to(p[0], p[1])
+
+    def qCurveTo(self, *points):
+        # TrueType: run of off-curve points with implied on-curve midpoints;
+        # the final point is on-curve (or None for a closed all-offcurve
+        # contour, which fontTools normalizes before we see it in practice).
+        cur = self.path.points[-1] if self.path.points else (0.0, 0.0)
+        pts = list(points)
+        if pts[-1] is None:
+            pts[-1] = cur
+        offs = pts[:-1]
+        end = pts[-1]
+        for i, c in enumerate(offs):
+            if i + 1 < len(offs):
+                mid = ((c[0] + offs[i + 1][0]) / 2.0,
+                       (c[1] + offs[i + 1][1]) / 2.0)
+            else:
+                mid = end
+            self.path.quad_to(c[0], c[1], mid[0], mid[1])
+
+    def curveTo(self, c1, c2, p):
+        self.path.curve_to(c1[0], c1[1], c2[0], c2[1], p[0], p[1])
+
+    def closePath(self):
+        self.path.close()
+
+    def endPath(self):
+        self.path.close()
+
+    def addComponent(self, name, transform):
+        raise _NeedsDecompose()
+
+
+class _NeedsDecompose(Exception):
+    pass
+
+
+class GlyphCache:
+    """(font.id, gid) -> BezPath outline in font units (glyph_cache.rs
+    analog; LRU maintenance via generation counting)."""
+
+    def __init__(self, max_entries: int = 4096):
+        self._cache: Dict[Tuple[int, int], BezPath] = {}
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def outline(self, font: Font, gid: int) -> BezPath:
+        key = (font.id, gid)
+        got = self._cache.get(key)
+        if got is not None:
+            self.hits += 1
+            return got
+        self.misses += 1
+        name = font.glyph_order[gid]
+        glyph = font._glyph_set[name]
+        pen = _PathPen()
+        try:
+            glyph.draw(pen)
+        except _NeedsDecompose:
+            # composite glyph: decompose components
+            from fontTools.pens.recordingPen import DecomposingRecordingPen
+
+            rp = DecomposingRecordingPen(font._glyph_set)
+            glyph.draw(rp)
+            pen = _PathPen()
+            rp.replay(pen)
+        if len(self._cache) >= self.max_entries:
+            self._cache.clear()  # simple epoch eviction
+        self._cache[key] = pen.path
+        return pen.path
+
+
+_GLOBAL_CACHE = GlyphCache()
+
+
+@dataclass
+class Glyph:
+    gid: int
+    x: float
+    y: float
+
+
+class DrawGlyphs:
+    """Builder mirroring vello's DrawGlyphs (scene.rs:487-893)."""
+
+    def __init__(self, scene, font: Font):
+        self.scene = scene
+        self.font = font
+        self._size = 16.0
+        self._brush: Brush = Color(0, 0, 0, 1)
+        self._transform = Affine.IDENTITY
+        self._glyph_transform: Optional[Affine] = None
+        self._cache = _GLOBAL_CACHE
+
+    def font_size(self, size: float) -> "DrawGlyphs":
+        self._size = float(size)
+        return self
+
+    def brush(self, brush: Brush) -> "DrawGlyphs":
+        self._brush = brush
+        return self
+
+    def transform(self, t: Affine) -> "DrawGlyphs":
+        self._transform = t
+        return self
+
+    def glyph_transform(self, t: Optional[Affine]) -> "DrawGlyphs":
+        self._glyph_transform = t
+        return self
+
+    def draw(self, style: Fill, glyphs: Iterable[Glyph]) -> None:
+        scale = self._size / self.font.upem
+        combined = BezPath()
+        for g in glyphs:
+            outline = self._cache.outline(self.font, g.gid)
+            if outline.is_empty():
+                continue
+            # font units are y-up; flip into y-down device space
+            t = Affine.translate(g.x, g.y) @ Affine.scale(scale, -scale)
+            if self._glyph_transform is not None:
+                t = t @ self._glyph_transform
+            combined.extend(outline.transform(t))
+        if combined.is_empty():
+            return
+        self.scene.fill(style, self._transform, self._brush, None, combined)
+
+
+def layout_text(font: Font, size: float, text: str,
+                origin: Tuple[float, float] = (0.0, 0.0)) -> List[Glyph]:
+    """Minimal shaping: advances only (no kerning/ligatures)."""
+    scale = size / font.upem
+    x, y = origin
+    out = []
+    for ch in text:
+        if ch == "\n":
+            asc, desc, gap = font.line_metrics()
+            y += (asc - desc + gap) * scale
+            x = origin[0]
+            continue
+        gid = font.glyph_id(ch)
+        out.append(Glyph(gid, x, y))
+        x += font.advance(gid) * scale
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def default_font() -> Font:
+    """DejaVu Sans from the matplotlib data dir (always present here)."""
+    import matplotlib
+
+    import os
+    p = os.path.join(matplotlib.get_data_path(), "fonts", "ttf",
+                     "DejaVuSans.ttf")
+    return Font(p)
