@@ -57,24 +57,20 @@ def main():
             t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
             if stage == "touches":
                 return t["seg"].sum() + t["ftile"].sum()
-            bd = tiling.backdrop_prefix(t["backdrop_idx"], t["backdrop_val"],
-                                        rects, caps.n_path_tiles)
-            if stage == "backdrop":
-                return bd.sum() + t["seg"].sum()
             tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
             f_s, tix_s = jax.lax.sort((t["ftile"], tix), num_keys=1)
             seg_s = t["seg"][tix_s]
             if stage == "sort":
-                return f_s.sum() + seg_s.sum() + bd.sum()
+                return f_s.sum() + seg_s.sum()
             cov = fine_xla.coverage_delta(seg_s, t["y_edge"][tix_s])
             ids = jnp.clip(f_s, 0, caps.n_path_tiles)
             fc = segment_sum_sorted(cov, ids, caps.n_path_tiles)
             if stage == "coverage":
-                return fc.sum() + bd.sum()
+                return fc.sum()
             raise ValueError(stage)
         return fn
 
-    stages = ["decode", "flatten", "touches", "backdrop", "sort", "coverage"]
+    stages = ["decode", "flatten", "touches", "sort", "coverage"]
     prev = 0.0
     for name in stages:
         j = jax.jit(upto(name))

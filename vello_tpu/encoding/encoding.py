@@ -102,7 +102,27 @@ class Encoding:
         self.path_tags.append(TAG_STYLE)
 
     def encode_path(self, path: BezPath, is_fill: bool = True) -> bool:
-        """Encode a BezPath; returns False if it produced no segments."""
+        """Encode a BezPath; returns False if it produced no segments.
+
+        Uses the C++ encoder (native/vello_native.cpp) when available; the
+        Python state machine below is the reference implementation and
+        fallback (byte-identical output, tested in test_encoding_native).
+        """
+        from .. import native
+        if native.available() and path.verbs:
+            tags, data, n_segs = native.encode_path(
+                np.asarray(path.verbs, dtype=np.uint8),
+                np.asarray(path.points, dtype=np.float32)
+                if path.points else np.zeros((0, 2), np.float32),
+                close_subpaths=is_fill)
+            if n_segs == 0:
+                return False
+            self.path_tags.extend(tags.tolist())
+            self.path_data.extend(data.reshape(-1).tolist())
+            self.path_tags.append(TAG_PATH)
+            self.n_paths += 1
+            self.n_path_segments += n_segs
+            return True
         enc = PathEncoder(self)
         for verb, pts in path.elements():
             if verb == MOVE_TO:
@@ -120,6 +140,21 @@ class Encoding:
 
     def encode_polygons(self, polys: List[np.ndarray]) -> bool:
         """Encode pre-flattened closed polygons (stroke expansion output)."""
+        from .. import native
+        if native.available() and polys:
+            sizes = np.asarray([len(p) for p in polys], dtype=np.int32)
+            cat = (np.concatenate([np.asarray(p, dtype=np.float32)
+                                   for p in polys])
+                   if len(polys) else np.zeros((0, 2), np.float32))
+            tags, data, n_segs = native.encode_polygons(cat, sizes)
+            if n_segs == 0:
+                return False
+            self.path_tags.extend(tags.tolist())
+            self.path_data.extend(data.reshape(-1).tolist())
+            self.path_tags.append(TAG_PATH)
+            self.n_paths += 1
+            self.n_path_segments += n_segs
+            return True
         enc = PathEncoder(self)
         for poly in polys:
             if len(poly) < 2:

@@ -210,14 +210,15 @@ def make_touches(lines, line_path, rects, n_touch_cap):
     ftile = jnp.where(tvalid, ftile, 2 ** 30)
 
     # --- backdrop: does this touch enter through its tile's top edge? ---
+    # The delta targets tile (y, x+1) == ftile + 1, so after the touch sort
+    # the deltas are ALSO sorted by target tile (shifted by one segment) and
+    # accumulate in the same fused segment-sum as coverage — no extra sort,
+    # no scatter (replaces path_count's atomicAdd entirely).
     z_prev = jnp.floor(a * (fi - 1.0) + b)
     top_edge = jnp.where(i == 0, jnp.floor(sy0) == sy0, z == z_prev)
-    delta = jnp.where(down, -1, 1).astype(jnp.int32)
-    bx = x + 1
-    b_ok = tvalid & top_edge & (bx < tx1)
-    btile = base + (y - ty0) * stride + (bx - tx0)
-    backdrop_idx = jnp.where(b_ok, btile, 2 ** 30)
-    backdrop_val = jnp.where(b_ok, delta, 0)
+    delta = jnp.where(down, -1.0, 1.0)
+    b_ok = tvalid & top_edge & (x + 1 < tx1)
+    backdrop_val = jnp.where(b_ok, delta, 0.0)
 
     # --- clip the segment to the tile (path_tiling logic, vectorised) ---
     tile_x = x.astype(jnp.float32) * TILE_W
@@ -290,8 +291,7 @@ def make_touches(lines, line_path, rects, n_touch_cap):
         "seg": seg,
         "y_edge": jnp.where(tvalid, y_edge, 1e9).astype(jnp.float32),
         "valid": tvalid,
-        "backdrop_idx": backdrop_idx.astype(jnp.int32),
-        "backdrop_val": backdrop_val,
+        "backdrop_val": backdrop_val.astype(jnp.float32),
         "overflow": overflow,
     }
 

@@ -74,18 +74,24 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                       ).astype(jnp.int32)
 
     touches = tiling.make_touches(lines, lpath, rects, caps.n_touches)
-    backdrop = tiling.backdrop_prefix(
-        touches["backdrop_idx"], touches["backdrop_val"], rects,
-        caps.n_path_tiles)
 
     # --- sort touches by flat tile (the "coarse" sort) ---
     tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
     ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
     seg_s = touches["seg"][tix_s]
     yedge_s = touches["y_edge"][tix_s]
+    bdval_s = touches["backdrop_val"][tix_s]
     cov = fine_xla.coverage_delta(seg_s, yedge_s)
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
-    frag_cov = segment_sum_sorted(cov, seg_ids, caps.n_path_tiles)
+    # Fused segment sum: per-pixel coverage (256 lanes) + the backdrop delta
+    # channel (targets ftile+1 => roll the summed channel by one tile).
+    combined = jnp.concatenate(
+        [cov.reshape(caps.n_touches, TILE_H * TILE_W), bdval_s[:, None]],
+        axis=-1)
+    summed = segment_sum_sorted(combined, seg_ids, caps.n_path_tiles)
+    frag_cov = summed[:, :TILE_H * TILE_W].reshape(-1, TILE_H, TILE_W)
+    bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                                summed[:-1, TILE_H * TILE_W]])
 
     # --- per flat tile metadata ---
     t = jnp.arange(caps.n_path_tiles, dtype=jnp.int32)
@@ -100,6 +106,12 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     rel = t - rects["base"][tpath]
     tx = rects["tx0"][tpath] + rel % stride
     ty = rects["ty0"][tpath] + rel // stride
+
+    # Backdrop = inclusive prefix of the deltas along each tile row
+    # (backdrop_dyn.wgsl replacement, sharing this stage's tpath/rel).
+    row_start = rects["base"][tpath] + (rel // stride) * stride
+    cbd = jnp.cumsum(bd_delta)
+    backdrop = cbd - cbd[row_start] + bd_delta[row_start]
 
     winding = backdrop[:, None, None].astype(jnp.float32) + frag_cov
     rule = bufs["fill_rule"][tpath][:, None, None]
