@@ -1,4 +1,4 @@
-"""Fine rasterization + compositing, XLA formulation.
+"""Fine rasterization + compositing, XLA formulation (channel-planar).
 
 The reference's ``fine.wgsl`` interprets a per-tile command list (PTCL) with a
 blend stack. The TPU formulation is data-parallel over *fragments* (one per
@@ -8,13 +8,14 @@ evaluation, then source-over compositing by *transmittance*: since
 premultiplied src-over composition of fragments f_1..f_n over a tile is
     out = sum_i src_i * prod_{j>i} (1 - a_j),
 the ordered blend becomes a segmented suffix-sum of log(1-a) plus one
-segment-sum — pure cumsum/exp/scatter, no sequential loop and no PTCL.
-Non-src-over blends and clip layers take the layered path (pipeline/render).
+segment-sum — pure cumsum/exp ops, no sequential loop and no PTCL.
+
+LAYOUT: pixel data is kept as a flat 256-wide minor axis (the 16x16 tile) and
+colors channel-planar (N, 4, 256) — a (...,16,16) or (...,4) minor dim would
+waste 8-32x of every 8x128 VPU register tile.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,17 @@ from ..encoding.resolve import (PAINT_BLUR_RECT, PAINT_COLOR, PAINT_GRADIENT,
                                 PAINT_IMAGE)
 from . import blur as blur_ops
 from .paint import apply_extend_dynamic, linear_t, radial_t, sweep_t
+from .segmented import segment_suffix_sum_sorted, segment_sum_sorted
+
+NPX = TILE_H * TILE_W  # 256 pixels per tile
+
+
+def _pixel_iota():
+    """(1, NPX) tile-local pixel corner coords (px, py)."""
+    lin = jax.lax.broadcasted_iota(jnp.float32, (1, NPX), 1)
+    px = jnp.mod(lin, TILE_W)
+    py = jnp.floor(lin / TILE_W)
+    return px, py
 
 
 def coverage_delta(seg, y_edge):
@@ -31,15 +43,13 @@ def coverage_delta(seg, y_edge):
 
     seg: (N, 4) tile-local (x0,y0,x1,y1) in original orientation.
     y_edge: (N,) left-edge crossing y (1e9 if none).
-    Returns (N, TILE_H, TILE_W) f32. Same math as fine.wgsl fill_path.
+    Returns (N, NPX) f32. Same math as fine.wgsl fill_path.
     """
-    n = seg.shape[0]
-    px = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 2)
-    py = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 1)
-    p0x = seg[:, 0][:, None, None]
-    p0y = seg[:, 1][:, None, None]
-    p1x = seg[:, 2][:, None, None]
-    p1y = seg[:, 3][:, None, None]
+    px, py = _pixel_iota()
+    p0x = seg[:, 0][:, None]
+    p0y = seg[:, 1][:, None]
+    p1x = seg[:, 2][:, None]
+    p1y = seg[:, 3][:, None]
     dx = p1x - p0x
     dy = p1y - p0y
     y = p0y - py
@@ -59,13 +69,13 @@ def coverage_delta(seg, y_edge):
     d = jnp.maximum(xmin, 0.0)
     a = (b + 0.5 * (d * d - c * c) - xmin) / (xmax - xmin)
     area = jnp.where(dyc != 0.0, a * dyc, 0.0)
-    ye = y_edge[:, None, None]
+    ye = y_edge[:, None]
     area = area + jnp.sign(dx) * jnp.clip(py - ye + 1.0, 0.0, 1.0)
     return area
 
 
 def apply_fill_rule(winding, rule):
-    """rule: (N,1,1) i32 (0 nonzero, 1 evenodd)."""
+    """winding (N, NPX); rule (N, 1) i32 (0 nonzero, 1 evenodd)."""
     nz = jnp.minimum(jnp.abs(winding), 1.0)
     eo = jnp.abs(winding - 2.0 * jnp.round(0.5 * winding))
     return jnp.where(rule == 1, eo, nz)
@@ -73,35 +83,32 @@ def apply_fill_rule(winding, rule):
 
 def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
                 image_rec, blur_rec, ramps, atlas, kinds_present):
-    """Evaluate per-fragment paints.
+    """Evaluate per-fragment paints, channel-planar.
 
-    tile_px/tile_py: (N,) f32 tile origin in pixels. Per-path tables already
-    gathered per fragment. kinds_present: static frozenset of paint kinds in
-    the scene — branches for absent kinds are skipped at trace time.
-    Returns (N, TILE_H, TILE_W, 4) premultiplied RGBA.
+    tile_px/tile_py: (N,) f32 tile origin in pixels. kinds_present: static
+    frozenset — absent paint kinds are skipped at trace time.
+    Returns (N, 4, NPX) premultiplied RGBA.
     """
     n = tile_px.shape[0]
-    out = jnp.broadcast_to(color[:, None, None, :],
-                           (n, TILE_H, TILE_W, 4))
+    out = jnp.broadcast_to(color[:, :, None], (n, 4, NPX))
     needs_xy = (PAINT_GRADIENT in kinds_present
                 or PAINT_IMAGE in kinds_present
                 or PAINT_BLUR_RECT in kinds_present)
     if not needs_xy:
         return out
-    col = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 2)
-    row = jax.lax.broadcasted_iota(jnp.float32, (1, TILE_H, TILE_W), 1)
-    gx = tile_px[:, None, None] + col + 0.5
-    gy = tile_py[:, None, None] + row + 0.5
+    px, py = _pixel_iota()
+    gx = tile_px[:, None] + px + 0.5
+    gy = tile_py[:, None] + py + 0.5
     inv = paint_inv
-    lx = gx * inv[:, 0, None, None] + gy * inv[:, 2, None, None] \
-        + inv[:, 4, None, None]
-    ly = gx * inv[:, 1, None, None] + gy * inv[:, 3, None, None] \
-        + inv[:, 5, None, None]
+    lx = gx * inv[:, 0, None] + gy * inv[:, 2, None] + inv[:, 4, None]
+    ly = gx * inv[:, 1, None] + gy * inv[:, 3, None] + inv[:, 5, None]
 
     if PAINT_GRADIENT in kinds_present:
         g = grad_rec
+
         def f(k):
-            return g[:, k][:, None, None]
+            return g[:, k][:, None]
+
         kindg = f(0)
         t_lin = linear_t(jnp, lx, ly, f(2), f(3), f(4), f(5))
         t_rad, valid_rad = radial_t(jnp, lx, ly, f(2), f(3), f(4), f(5),
@@ -111,30 +118,31 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
                       jnp.where(kindg == 1, t_rad, t_swp))
         valid = jnp.where(kindg == 1, valid_rad, True)
         t = apply_extend_dynamic(jnp, t, f(1).astype(jnp.int32))
-        # multi-ramp sampling
         rw = ramps.shape[1]
         flat = ramps.reshape(-1, 4)
         xg = jnp.clip(t, 0.0, 1.0) * (rw - 1)
         i0 = jnp.clip(jnp.floor(xg).astype(jnp.int32), 0, rw - 2)
-        frac = (xg - i0.astype(jnp.float32))[..., None]
-        rowix = g[:, 10].astype(jnp.int32)[:, None, None]
+        frac = xg - i0.astype(jnp.float32)          # (N, NPX)
+        rowix = g[:, 10].astype(jnp.int32)[:, None]
         base_ix = rowix * rw + i0
-        c0 = flat[base_ix]
+        c0 = flat[base_ix]                           # (N, NPX, 4)
         c1 = flat[base_ix + 1]
-        cg = c0 * (1.0 - frac) + c1 * frac
-        ag = cg[..., 3:4]
-        grad_rgba = jnp.concatenate([cg[..., :3] * ag, ag], axis=-1)
-        grad_rgba = jnp.where(valid[..., None], grad_rgba, 0.0)
-        out = jnp.where((paint_kind == PAINT_GRADIENT)[:, None, None, None],
-                        grad_rgba, out)
+        cg = c0 * (1.0 - frac[..., None]) + c1 * frac[..., None]
+        ag = cg[..., 3]
+        grad_p = jnp.concatenate(
+            [(cg[..., :3] * ag[..., None]).transpose(0, 2, 1),
+             ag[:, None, :]], axis=1)                # (N, 4, NPX)
+        grad_p = jnp.where(valid[:, None, :], grad_p, 0.0)
+        out = jnp.where((paint_kind == PAINT_GRADIENT)[:, None, None],
+                        grad_p, out)
 
     if PAINT_IMAGE in kinds_present:
         r = image_rec
-        ax, ay = r[:, 0][:, None, None], r[:, 1][:, None, None]
-        iw, ih = r[:, 2][:, None, None], r[:, 3][:, None, None]
-        xe = r[:, 4].astype(jnp.int32)[:, None, None]
-        ye_m = r[:, 5].astype(jnp.int32)[:, None, None]
-        alpha = r[:, 7][:, None, None, None]
+        ax, ay = r[:, 0][:, None], r[:, 1][:, None]
+        iw, ih = r[:, 2][:, None], r[:, 3][:, None]
+        xe = r[:, 4].astype(jnp.int32)[:, None]
+        ye_m = r[:, 5].astype(jnp.int32)[:, None]
+        alpha = r[:, 7][:, None, None]
         sw = jnp.maximum(iw, 1.0)
         sh = jnp.maximum(ih, 1.0)
         ux = apply_extend_dynamic(jnp, (lx - 0.5) / sw, xe) * sw
@@ -157,37 +165,22 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
         c11 = aflat[y1i * aw + x1i]
         img_rgba = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
                     + (c10 * (1 - fx) + c11 * fx) * fy) * alpha
-        out = jnp.where((paint_kind == PAINT_IMAGE)[:, None, None, None],
-                        img_rgba, out)
+        img_p = img_rgba.transpose(0, 2, 1)          # (N, 4, NPX)
+        out = jnp.where((paint_kind == PAINT_IMAGE)[:, None, None],
+                        img_p, out)
 
     if PAINT_BLUR_RECT in kinds_present:
         br = blur_rec
+
         def fb(k):
-            return br[:, k][:, None, None]
+            return br[:, k][:, None]
+
         cov = blur_ops.blurred_rounded_rect_coverage(
             jnp, lx, ly, fb(0), fb(1), fb(2), fb(3), fb(4), fb(5))
-        blur_rgba = color[:, None, None, :] * cov[..., None]
-        out = jnp.where((paint_kind == PAINT_BLUR_RECT)[:, None, None, None],
-                        blur_rgba, out)
+        blur_p = color[:, :, None] * cov[:, None, :]
+        out = jnp.where((paint_kind == PAINT_BLUR_RECT)[:, None, None],
+                        blur_p, out)
     return out
-
-
-def composite_srcover(src, alpha, gtile, n_gtiles, base_color):
-    """Transmittance-formulation ordered src-over composite.
-
-    src: (N, H, W, 4) premultiplied fragment colors, SORTED by (gtile, order).
-    alpha: (N, H, W) fragment alpha. gtile: (N,) sorted global tile ids
-    (invalid = n_gtiles). Returns (n_gtiles, H, W, 4).
-    """
-    from .segmented import segment_suffix_sum_sorted, segment_sum_sorted
-    w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
-    s = segment_suffix_sum_sorted(w, gtile)
-    t = _transmittance(s)
-    contrib = src * t[..., None]
-    tiles = segment_sum_sorted(contrib, gtile, n_gtiles)
-    w_tot = segment_sum_sorted(w, gtile, n_gtiles)
-    t_tot = _transmittance(w_tot)
-    return tiles + base_color[None, None, None, :] * t_tot[..., None]
 
 
 def _transmittance(log_sum):
@@ -197,15 +190,31 @@ def _transmittance(log_sum):
     return jnp.where(log_sum <= -16.0, 0.0, jnp.exp(log_sum))
 
 
+def composite_srcover(src, alpha, gtile, n_gtiles, base_color):
+    """Transmittance-formulation ordered src-over composite.
+
+    src: (N, 4, NPX) premultiplied, SORTED by (gtile, order). alpha:
+    (N, NPX). gtile: (N,) sorted (invalid = n_gtiles). base_color: (4,)
+    premultiplied. Returns (n_gtiles, 4, NPX).
+    """
+    w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+    s = segment_suffix_sum_sorted(w, gtile)
+    t = _transmittance(s)
+    stacked = jnp.concatenate([src * t[:, None, :], w[:, None, :]], axis=1)
+    summed = segment_sum_sorted(stacked, gtile, n_gtiles)   # (G, 5, NPX)
+    tiles = summed[:, :4]
+    t_tot = _transmittance(summed[:, 4])
+    return tiles + base_color[None, :, None] * t_tot[:, None, :]
+
+
 def composite_srcover_over(src, alpha, gtile, bg_tiles):
-    """Same as composite_srcover but over an existing per-tile backdrop
-    buffer (n_gtiles, H, W, 4) — the layered compositor's 'draws' op."""
-    from .segmented import segment_suffix_sum_sorted, segment_sum_sorted
+    """Same, over an existing (n_gtiles, 4, NPX) backdrop buffer — the
+    layered compositor's 'draws' op."""
     n_gtiles = bg_tiles.shape[0]
     w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
     s = segment_suffix_sum_sorted(w, gtile)
     t = _transmittance(s)
-    tiles = segment_sum_sorted(src * t[..., None], gtile, n_gtiles)
-    w_tot = segment_sum_sorted(w, gtile, n_gtiles)
-    t_tot = _transmittance(w_tot)
-    return tiles + bg_tiles * t_tot[..., None]
+    stacked = jnp.concatenate([src * t[:, None, :], w[:, None, :]], axis=1)
+    summed = segment_sum_sorted(stacked, gtile, n_gtiles)
+    t_tot = _transmittance(summed[:, 4])
+    return summed[:, :4] + bg_tiles * t_tot[:, None, :]

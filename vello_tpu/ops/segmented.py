@@ -14,22 +14,32 @@ import jax
 import jax.numpy as jnp
 
 
+def segment_bounds(sorted_ids: jnp.ndarray, num_segments: int):
+    """(lo, hi) index ranges of each segment in a sorted id array."""
+    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
+    lo = jnp.searchsorted(sorted_ids, seg, side="left")
+    hi = jnp.searchsorted(sorted_ids, seg, side="right")
+    return lo, hi
+
+
+def segment_sum_from_bounds(vals: jnp.ndarray, lo: jnp.ndarray,
+                            hi: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.cumsum(vals, axis=0)
+    zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
+    cpad = jnp.concatenate([zero, c], axis=0)          # cpad[i] = sum(<i)
+    return cpad[hi] - cpad[lo]
+
+
 def segment_sum_sorted(vals: jnp.ndarray, sorted_ids: jnp.ndarray,
                        num_segments: int) -> jnp.ndarray:
     """Sum vals (N, ...) into (num_segments, ...) by ascending sorted_ids.
 
     ids >= num_segments are ignored (dump segment). Exact for ints; for f32
     the cumsum-difference loses ~sqrt(N)*eps relative accuracy — acceptable
-    for coverage (bounded winding) but use segment_sum_sorted_f64 when not.
+    for coverage (bounded winding).
     """
-    n = vals.shape[0]
-    c = jnp.cumsum(vals, axis=0)
-    zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
-    cpad = jnp.concatenate([zero, c], axis=0)          # cpad[i] = sum(<i)
-    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
-    lo = jnp.searchsorted(sorted_ids, seg, side="left")
-    hi = jnp.searchsorted(sorted_ids, seg, side="right")
-    return cpad[hi] - cpad[lo]
+    lo, hi = segment_bounds(sorted_ids, num_segments)
+    return segment_sum_from_bounds(vals, lo, hi)
 
 
 def segment_ends_sorted(sorted_ids: jnp.ndarray) -> jnp.ndarray:

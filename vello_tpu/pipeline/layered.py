@@ -118,9 +118,10 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
                          plan: LayerPlanStatic, stripe=None):
     fr = prepare_fragments(bufs, static, stripe, keep_clip_paths=True)
     n_loc = fr["n_loc"]
+    npx = TILE_H * TILE_W
     base = bufs["base_color"]
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
-    bottom = jnp.broadcast_to(base_premul, (n_loc, TILE_H, TILE_W, 4))
+    bottom = jnp.broadcast_to(base_premul[None, :, None], (n_loc, 4, npx))
 
     stack = [bottom]
     clips = []  # per-push clip coverage or None
@@ -132,8 +133,8 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
             hi = plan_dyn["ranges"][d_i, 1]
             d_i += 1
             m = (fr["tpath_s"] >= lo) & (fr["tpath_s"] < hi)
-            alpha = jnp.where(m[:, None, None], fr["alpha_s"], 0.0)
-            src = jnp.where(m[:, None, None, None], fr["src_s"], 0.0)
+            alpha = jnp.where(m[:, None], fr["alpha_s"], 0.0)
+            src = jnp.where(m[:, None, None], fr["src_s"], 0.0)
             stack[-1] = fine_xla.composite_srcover_over(
                 src, alpha, fr["g_s"], stack[-1])
         elif kind == OP_PUSH:
@@ -144,13 +145,12 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
             # (each (path,tile) unique, so segmented sum == select).
             # Mask VALUES, not ids — segment_sum_sorted needs ids ascending.
             sel = fr["tpath_s"] == cix
-            covs = jnp.where(sel[:, None, None], fr["coverage_s"], 0.0)
-            ccov = segment_sum_sorted(covs, fr["g_s"], n_loc)
+            covs = jnp.where(sel[:, None], fr["coverage_s"], 0.0)
+            ccov = segment_sum_sorted(covs, fr["g_s"], n_loc)  # (G, NPX)
             has_clip = cix >= 0
             ccov = jnp.where(has_clip, ccov, 1.0)
             clips.append((ccov, alpha))
-            stack.append(jnp.zeros((n_loc, TILE_H, TILE_W, 4),
-                                   dtype=jnp.float32))
+            stack.append(jnp.zeros((n_loc, 4, npx), dtype=jnp.float32))
         else:  # OP_POP
             top = stack.pop()
             if mix < 0:  # unbalanced push: discard content
@@ -160,9 +160,12 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
             ccov, alpha = clips.pop()
             parent = stack[-1]
             src = top * alpha
-            blended = blend_ops.blend_mix_compose(jnp, parent, src,
-                                                  mix, compose)
-            c = ccov[..., None]
+            # blend ops are channel-last; pops touch few buffers, so the
+            # transposes are cheap relative to the per-fragment stages.
+            blended = blend_ops.blend_mix_compose(
+                jnp, parent.transpose(0, 2, 1), src.transpose(0, 2, 1),
+                mix, compose).transpose(0, 2, 1)
+            c = ccov[:, None, :]
             stack[-1] = parent * (1.0 - c) + blended * c
 
     tiles = stack[0]

@@ -81,17 +81,15 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     seg_s = touches["seg"][tix_s]
     yedge_s = touches["y_edge"][tix_s]
     bdval_s = touches["backdrop_val"][tix_s]
-    cov = fine_xla.coverage_delta(seg_s, yedge_s)
+    cov = fine_xla.coverage_delta(seg_s, yedge_s)       # (T, 256)
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
-    # Fused segment sum: per-pixel coverage (256 lanes) + the backdrop delta
-    # channel (targets ftile+1 => roll the summed channel by one tile).
-    combined = jnp.concatenate(
-        [cov.reshape(caps.n_touches, TILE_H * TILE_W), bdval_s[:, None]],
-        axis=-1)
-    summed = segment_sum_sorted(combined, seg_ids, caps.n_path_tiles)
-    frag_cov = summed[:, :TILE_H * TILE_W].reshape(-1, TILE_H, TILE_W)
-    bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32),
-                                summed[:-1, TILE_H * TILE_W]])
+    # One set of segment bounds for both coverage and the backdrop-delta
+    # channel (deltas target ftile+1 => roll the summed channel by one tile).
+    from ..ops.segmented import segment_bounds, segment_sum_from_bounds
+    lo_b, hi_b = segment_bounds(seg_ids, caps.n_path_tiles)
+    frag_cov = segment_sum_from_bounds(cov, lo_b, hi_b)  # (F, 256)
+    bd_sum = segment_sum_from_bounds(bdval_s, lo_b, hi_b)
+    bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
     # --- per flat tile metadata ---
     t = jnp.arange(caps.n_path_tiles, dtype=jnp.int32)
@@ -113,10 +111,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     cbd = jnp.cumsum(bd_delta)
     backdrop = cbd - cbd[row_start] + bd_delta[row_start]
 
-    winding = backdrop[:, None, None].astype(jnp.float32) + frag_cov
-    rule = bufs["fill_rule"][tpath][:, None, None]
+    winding = backdrop[:, None].astype(jnp.float32) + frag_cov
+    rule = bufs["fill_rule"][tpath][:, None]
     coverage = fine_xla.apply_fill_rule(winding, rule)
-    coverage = jnp.where(tvalid[:, None, None], coverage, 0.0)
+    coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
     src = fine_xla.eval_paints(
         (tx * TILE_W).astype(jnp.float32), (ty * TILE_H).astype(jnp.float32),
@@ -124,9 +122,9 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         bufs["grad_rec"][tpath], bufs["paint_inv"][tpath],
         bufs["image_rec"][tpath], bufs["blur_rec"][tpath],
         bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
-    src = src * coverage[..., None]
+    src = src * coverage[:, None, :]                     # (F, 4, NPX)
     if keep_clip_paths:
-        src = jnp.where(is_clip[:, None, None, None], 0.0, src)
+        src = jnp.where(is_clip[:, None, None], 0.0, src)
 
     # --- sort fragments by (local gtile, draw order) ---
     if stripe is None:
@@ -142,8 +140,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     out = {
         "g_s": g_s,                    # sorted local gtile per fragment
         "tpath_s": tpath_s,            # owning path (draw order key)
-        "src_s": src_s,                # premultiplied paint*coverage
-        "alpha_s": src_s[..., 3],
+        "src_s": src_s,                # premultiplied paint*coverage (F,4,P)
+        "alpha_s": src_s[:, 3, :],     # (F, NPX)
         "n_loc": n_loc,
         "ht_local": ht_local,
         "WT": WT,
@@ -155,9 +153,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
 
 
 def _tiles_to_image(tiles, static, ht_local, crop_h: bool):
+    """(G, 4, NPX) channel-planar tiles -> (H, W, 4) image."""
     WT = static.width_tiles
-    img = tiles.reshape(ht_local, WT, TILE_H, TILE_W, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(ht_local * TILE_H,
+    img = tiles.reshape(ht_local, WT, 4, TILE_H, TILE_W)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(ht_local * TILE_H,
                                                WT * TILE_W, 4)
     if crop_h:
         img = img[:static.height, :static.width]
