@@ -24,3 +24,17 @@ def test_scene_device_matches_oracle(name):
     assert d.max() < 0.06, f"{name}: max {d.max()}"
     # the scene must actually draw something
     assert b[..., :3].std() > 0.01
+
+
+def test_tiger_device_matches_oracle():
+    import os
+
+    from vello_tpu.scenes.test_scenes import TIGER_ASSET, tiger
+    if not os.path.exists(TIGER_ASSET):
+        pytest.skip("tiger asset not mounted")
+    params = RenderParams(192, 192, base_color=(1, 1, 1, 1))
+    scene = tiger(192.0)
+    a = OracleRenderer().render(scene, params)
+    b = Renderer().render(scene, params)
+    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+    assert d.mean() < 2e-4 and d.max() < 0.06

@@ -351,3 +351,38 @@ def text_heavy(size: float = 1024.0, lines: int = 40) -> Scene:
 
 
 DEVICE_SCENES["text_scene"] = text_scene
+
+
+TIGER_ASSET = "/root/reference/examples/assets/Ghostscript_Tiger.svg"
+
+
+def tiger(size: float = 256.0, asset: str = None) -> Scene:
+    """The Ghostscript tiger benchmark scene (~180 paths with fills+strokes),
+    auto-fitted to the viewport. Requires the SVG asset on disk."""
+    import os
+
+    from ..encoding.encoding import decode_segments
+    from ..utils.svg import load_svg
+
+    asset = asset or TIGER_ASSET
+    if not os.path.exists(asset):
+        raise FileNotFoundError(asset)
+    probe = load_svg(asset)
+    tags, data, transforms, styles = probe.encoding.packed_streams()
+    d = decode_segments(tags, data, transforms, styles)
+    t = d["transform"]
+    pts = d["points"]
+    x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] \
+        + t[:, None, 4]
+    y = pts[..., 0] * t[:, None, 1] + pts[..., 1] * t[:, None, 3] \
+        + t[:, None, 5]
+    import numpy as _np
+    npts = d["kind"] + 1
+    mask = _np.arange(4)[None, :] < npts[:, None]
+    x0, x1 = x[mask].min(), x[mask].max()
+    y0, y1 = y[mask].min(), y[mask].max()
+    s = 0.94 * size / max(x1 - x0, y1 - y0)
+    fit = Affine.translate(
+        (size - s * (x1 - x0)) / 2 - s * x0,
+        (size - s * (y1 - y0)) / 2 - s * y0) @ Affine.scale(s)
+    return load_svg(asset, transform=fit)
