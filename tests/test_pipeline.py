@@ -180,3 +180,27 @@ def test_overflow_retry():
     out = Renderer(max_retries=6).render_resolved(rs, PARAMS)
     ref = OracleRenderer().render(s, PARAMS)
     assert np.abs(out - ref).mean() < 5e-4
+
+
+def test_msaa_modes_fix_conflation():
+    """Two shapes sharing an edge: area AA leaves a seam against the base;
+    the msaa16 (supersampled) mode composites per sample and must not
+    (reference: conflation_artifacts scene + fill_path_ms)."""
+    s = Scene()
+    # two abutting rects covering [8,56] with a shared edge at x=32.3
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
+           rect_path(8, 8, 32.3, 56))
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
+           rect_path(32.3, 8, 56, 56))
+    area = Renderer().render(s, PARAMS)
+    msaa = Renderer().render(
+        s, RenderParams(64, 64, base_color=(0, 0, 0, 1),
+                        antialiasing="msaa16"))
+    # area-AA: seam pixel is visibly darker than 1.0; msaa16: solid white
+    assert area[30, 32, 0] < 0.99
+    assert msaa[30, 32, 0] > 0.995
+    # oracle agrees with device in msaa mode
+    o = OracleRenderer().render(
+        s, RenderParams(64, 64, base_color=(0, 0, 0, 1),
+                        antialiasing="msaa16"))
+    assert np.abs(o - msaa).mean() < 5e-4

@@ -58,8 +58,28 @@ class Renderer:
         self.max_retries = max_retries
 
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
+        if params.antialiasing != "area":
+            return self._render_supersampled(scene, params)
         rs = resolve(scene.encoding, params)
         return self.render_resolved(rs, params)
+
+    def _render_supersampled(self, scene: Scene,
+                             params: RenderParams) -> np.ndarray:
+        """msaa8/msaa16 modes: rendered as 3x/4x supersampling — per-sample
+        compositing like MSAA (conflation-artifact-free, reference
+        fine.wgsl fill_path_ms role) with a box resolve. k*k >= sample count
+        of the reference mode, so quality is at or above parity."""
+        from ..encoding.encoding import Encoding
+        from ..kurbo import Affine
+        k = 3 if params.antialiasing == "msaa8" else 4
+        up = Encoding()
+        up.append(scene.encoding, Affine.scale(float(k)))
+        big = RenderParams(params.width * k, params.height * k,
+                           params.base_color, "centers")
+        rs = resolve(up, big)
+        img = self.render_resolved(rs, big)
+        h, w = params.height, params.width
+        return img[:h * k, :w * k].reshape(h, k, w, k, 4).mean(axis=(1, 3))
 
     def render_resolved(self, rs: ResolvedScene,
                         params: RenderParams) -> np.ndarray:
@@ -73,7 +93,8 @@ class Renderer:
         for attempt in range(self.max_retries + 1):
             static = PipelineStatic(
                 caps_key=caps.key(), width=params.width,
-                height=params.height, kinds_present=kinds)
+                height=params.height, kinds_present=kinds,
+                aa=params.antialiasing)
             bufs = pack_buffers(rs, caps, params)
             if has_layers:
                 img, overflow = get_layered_pipeline(static, plan)(

@@ -268,6 +268,19 @@ class OracleRenderer:
     images, blurred rects, nested clip/blend layers)."""
 
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
+        if params.antialiasing != "area":
+            # msaa8/msaa16 as 3x/4x supersampling (see models/renderer.py).
+            from ..encoding.encoding import Encoding
+            from ..kurbo import Affine
+            k = 3 if params.antialiasing == "msaa8" else 4
+            up = Encoding()
+            up.append(scene.encoding, Affine.scale(float(k)))
+            big = RenderParams(params.width * k, params.height * k,
+                               params.base_color, "centers")
+            img = self.render_resolved(resolve(up, big), big)
+            h, w = params.height, params.width
+            return img[:h * k, :w * k].reshape(h, k, w, k, 4).mean(
+                axis=(1, 3))
         rs = resolve(scene.encoding, params)
         return self.render_resolved(rs, params)
 
@@ -277,10 +290,15 @@ class OracleRenderer:
         decoded = decode_segments(rs.tags, rs.data, rs.transforms, rs.styles)
         lines, line_path = flatten_decoded(decoded)
 
+        centers = params.antialiasing == "centers"
+
         def path_coverage(p: int) -> np.ndarray:
             sel = line_path == p
             w = accumulate_winding(lines[sel], W, H)
-            return apply_fill_rule(w, int(rs.fill_rule[p]))
+            cov = apply_fill_rule(w, int(rs.fill_rule[p]))
+            if centers:
+                cov = np.where(cov >= 0.5, 1.0, 0.0)
+            return cov
 
         base = np.zeros((H, W, 4))
         bc = np.asarray(params.base_color, dtype=np.float64)

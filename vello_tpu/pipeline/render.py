@@ -34,6 +34,7 @@ class PipelineStatic:
     width: int
     height: int
     kinds_present: Tuple[int, ...]
+    aa: str = "area"  # "area" | "centers" (binary per-sample, used by msaa)
 
     @property
     def width_tiles(self):
@@ -114,6 +115,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     winding = backdrop[:, None].astype(jnp.float32) + frag_cov
     rule = bufs["fill_rule"][tpath][:, None]
     coverage = fine_xla.apply_fill_rule(winding, rule)
+    if static.aa == "centers":
+        # binary sample coverage (the per-sample winding of fill_path_ms):
+        # threshold at half coverage ~= center-in-shape for straight edges
+        coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
     coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
     src = fine_xla.eval_paints(
