@@ -204,3 +204,15 @@ def test_msaa_modes_fix_conflation():
         s, RenderParams(64, 64, base_color=(0, 0, 0, 1),
                         antialiasing="msaa16"))
     assert np.abs(o - msaa).mean() < 5e-4
+
+
+def test_image_quality_modes():
+    from vello_tpu.peniko import ImageQuality
+    rng = np.random.default_rng(11)
+    tex = rng.uniform(0, 255, (12, 12, 4)).astype(np.uint8)
+    tex[..., 3] = 255
+    for q in (ImageQuality.LOW, ImageQuality.MEDIUM, ImageQuality.HIGH):
+        img = Image(tex, quality=q)
+        s = Scene()
+        s.draw_image(img, Affine.translate(8, 8) @ Affine.scale(3.5))
+        check(s, mean_tol=3e-3, max_tol=0.1)

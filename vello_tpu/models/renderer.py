@@ -15,6 +15,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: pipeline compiles are minutes-long through
+# the tunneled backend; cache them across processes (pipeline_cache role).
+import os as _os
+try:
+    _cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from ..encoding.config import Capacities, RenderParams
 from ..encoding.resolve import ResolvedScene, resolve
 from ..pipeline.render import PipelineStatic, get_pipeline
@@ -52,10 +64,21 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
 
 
 class Renderer:
-    """Device renderer. render() -> (H, W, 4) premultiplied f32 numpy."""
+    """Device renderer. render() -> (H, W, 4) premultiplied f32 numpy.
+
+    ``last_profile`` after each render holds host/device timings, the tier,
+    and retry count — the role of ``Renderer.profile_result`` (wgpu-profiler,
+    vello/src/lib.rs:337-344) + the stats HUD's BumpAllocators readout.
+    """
 
     def __init__(self, max_retries: int = 3):
         self.max_retries = max_retries
+        self.last_profile: dict = {}
+
+    def warmup(self, scene: Scene, params: RenderParams) -> None:
+        """Precompile the pipeline for this scene class (the pipeline_cache
+        role, lib.rs:399-404): render once and discard."""
+        self.render(scene, params)
 
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
         if params.antialiasing != "area":
@@ -83,8 +106,15 @@ class Renderer:
 
     def render_resolved(self, rs: ResolvedScene,
                         params: RenderParams) -> np.ndarray:
+        import time
+        t_start = time.time()
         caps = rs.capacities(params)
-        kinds = tuple(sorted(set(int(k) for k in rs.paint_kind)))
+        kinds = set(int(k) for k in rs.paint_kind)
+        if 2 in kinds:  # PAINT_IMAGE: add 10+quality markers (static key)
+            from ..encoding.resolve import PAINT_IMAGE
+            quals = rs.image_rec[rs.paint_kind == PAINT_IMAGE, 6]
+            kinds |= {10 + int(q) for q in set(quals.tolist())}
+        kinds = tuple(sorted(kinds))
         has_layers = any(k in (3, 4) for k in rs.draw_kind)
         if has_layers:
             from ..pipeline.layered import (build_layer_plan,
@@ -103,7 +133,22 @@ class Renderer:
                 img, overflow = get_pipeline(static)(bufs)
             overflow = int(jax.device_get(overflow))
             if overflow == 0:
-                return np.asarray(jax.device_get(img))
+                t_done = time.time()
+                out = np.asarray(jax.device_get(img))
+                self.last_profile = {
+                    "wall_s": t_done - t_start,
+                    "readback_s": time.time() - t_done,
+                    "tier": dict(zip(
+                        ["tags", "points", "segs", "lines", "touches",
+                         "path_tiles", "paths", "transforms", "styles",
+                         "ramps"], caps.key())),
+                    "retries": attempt,
+                    "layered": has_layers,
+                    "est": {"lines": rs.est_lines,
+                            "touches": rs.est_touches,
+                            "path_tiles": rs.est_path_tiles},
+                }
+                return out
             # Grow the overflowed buffers (robust-memory retry).
             caps = Capacities(
                 n_tags=caps.n_tags, n_points=caps.n_points,

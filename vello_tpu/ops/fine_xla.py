@@ -137,11 +137,16 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
                         grad_p, out)
 
     if PAINT_IMAGE in kinds_present:
+        # kinds_present also carries 10+quality markers for the image
+        # sampling modes present in the scene (LOW=nearest, MEDIUM=bilinear,
+        # HIGH=bicubic — fine.wgsl:897-925); absent modes cost nothing.
+        from .paint import cubic_weights
         r = image_rec
         ax, ay = r[:, 0][:, None], r[:, 1][:, None]
         iw, ih = r[:, 2][:, None], r[:, 3][:, None]
         xe = r[:, 4].astype(jnp.int32)[:, None]
         ye_m = r[:, 5].astype(jnp.int32)[:, None]
+        qual = r[:, 6].astype(jnp.int32)[:, None, None]
         alpha = r[:, 7][:, None, None]
         sw = jnp.maximum(iw, 1.0)
         sh = jnp.maximum(ih, 1.0)
@@ -155,17 +160,46 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
         fy = (uy - yf)[..., None]
         aw = atlas.shape[1]
         aflat = atlas.reshape(-1, 4)
+        xmax = (ax + iw - 1).astype(jnp.int32)
+        ymax = (ay + ih - 1).astype(jnp.int32)
+        xmin = ax.astype(jnp.int32)
+        ymin = ay.astype(jnp.int32)
+
+        def tex(xi, yi):
+            xi = jnp.clip(xi, xmin, xmax)
+            yi = jnp.clip(yi, ymin, ymax)
+            return aflat[yi * aw + xi]
+
         x0i = (ax + xf).astype(jnp.int32)
         y0i = (ay + yf).astype(jnp.int32)
-        x1i = jnp.minimum(x0i + 1, (ax + iw - 1).astype(jnp.int32))
-        y1i = jnp.minimum(y0i + 1, (ay + ih - 1).astype(jnp.int32))
-        c00 = aflat[y0i * aw + x0i]
-        c01 = aflat[y0i * aw + x1i]
-        c10 = aflat[y1i * aw + x0i]
-        c11 = aflat[y1i * aw + x1i]
-        img_rgba = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
-                    + (c10 * (1 - fx) + c11 * fx) * fy) * alpha
-        img_p = img_rgba.transpose(0, 2, 1)          # (N, 4, NPX)
+        img_rgba = None
+        if 11 in kinds_present or not (
+                10 in kinds_present or 12 in kinds_present):
+            c00 = tex(x0i, y0i)
+            c01 = tex(x0i + 1, y0i)
+            c10 = tex(x0i, y0i + 1)
+            c11 = tex(x0i + 1, y0i + 1)
+            img_rgba = ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
+                        + (c10 * (1 - fx) + c11 * fx) * fy)
+        if 10 in kinds_present:
+            near = tex((ax + jnp.floor(ux + 0.5)).astype(jnp.int32),
+                       (ay + jnp.floor(uy + 0.5)).astype(jnp.int32))
+            img_rgba = near if img_rgba is None else \
+                jnp.where(qual[..., None] == 0, near, img_rgba)
+        if 12 in kinds_present:
+            wx = cubic_weights(jnp, fx[..., 0])
+            wy = cubic_weights(jnp, fy[..., 0])
+            acc = 0.0
+            for j in range(4):
+                row = 0.0
+                for i in range(4):
+                    row = row + tex(x0i + (i - 1), y0i + (j - 1)) \
+                        * wx[i][..., None]
+                acc = acc + row * wy[j][..., None]
+            cub = jnp.clip(acc, 0.0, 1.0)
+            img_rgba = cub if img_rgba is None else \
+                jnp.where(qual[..., None] == 2, cub, img_rgba)
+        img_p = (img_rgba * alpha).transpose(0, 2, 1)    # (N, 4, NPX)
         out = jnp.where((paint_kind == PAINT_IMAGE)[:, None, None],
                         img_p, out)
 
@@ -190,6 +224,22 @@ def _transmittance(log_sum):
     return jnp.where(log_sum <= -16.0, 0.0, jnp.exp(log_sum))
 
 
+def _composite_core(src, alpha, gtile, n_gtiles):
+    """Shared transmittance composite: returns (tiles (G,4,NPX),
+    t_tot (G,NPX)). Heavy tensors are kept flat (N, 5*NPX) so the channel
+    dim rides the 128-lane axis instead of padding sublanes."""
+    n = src.shape[0]
+    w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
+    s = segment_suffix_sum_sorted(w, gtile)
+    t = _transmittance(s)
+    srct = (src * t[:, None, :]).reshape(n, 4 * NPX)
+    stacked = jnp.concatenate([srct, w], axis=1)            # (N, 5*NPX)
+    summed = segment_sum_sorted(stacked, gtile, n_gtiles)
+    tiles = summed[:, :4 * NPX].reshape(n_gtiles, 4, NPX)
+    t_tot = _transmittance(summed[:, 4 * NPX:])
+    return tiles, t_tot
+
+
 def composite_srcover(src, alpha, gtile, n_gtiles, base_color):
     """Transmittance-formulation ordered src-over composite.
 
@@ -197,24 +247,12 @@ def composite_srcover(src, alpha, gtile, n_gtiles, base_color):
     (N, NPX). gtile: (N,) sorted (invalid = n_gtiles). base_color: (4,)
     premultiplied. Returns (n_gtiles, 4, NPX).
     """
-    w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
-    s = segment_suffix_sum_sorted(w, gtile)
-    t = _transmittance(s)
-    stacked = jnp.concatenate([src * t[:, None, :], w[:, None, :]], axis=1)
-    summed = segment_sum_sorted(stacked, gtile, n_gtiles)   # (G, 5, NPX)
-    tiles = summed[:, :4]
-    t_tot = _transmittance(summed[:, 4])
+    tiles, t_tot = _composite_core(src, alpha, gtile, n_gtiles)
     return tiles + base_color[None, :, None] * t_tot[:, None, :]
 
 
 def composite_srcover_over(src, alpha, gtile, bg_tiles):
     """Same, over an existing (n_gtiles, 4, NPX) backdrop buffer — the
     layered compositor's 'draws' op."""
-    n_gtiles = bg_tiles.shape[0]
-    w = jnp.log1p(-jnp.minimum(alpha, 1.0 - 1e-7))
-    s = segment_suffix_sum_sorted(w, gtile)
-    t = _transmittance(s)
-    stacked = jnp.concatenate([src * t[:, None, :], w[:, None, :]], axis=1)
-    summed = segment_sum_sorted(stacked, gtile, n_gtiles)
-    t_tot = _transmittance(summed[:, 4])
-    return summed[:, :4] + bg_tiles * t_tot[:, None, :]
+    tiles, t_tot = _composite_core(src, alpha, gtile, bg_tiles.shape[0])
+    return tiles + bg_tiles * t_tot[:, None, :]

@@ -181,6 +181,58 @@ def eval_gradient_traced(xp, rec, ramp, x, y):
 # Image sampling
 
 
+def cubic_weights(xp, f):
+    """Catmull-Rom weights for fractional position f (…): returns 4 weights.
+    The bicubic kernel of the reference's HIGH image quality
+    (fine.wgsl:897-925)."""
+    f2 = f * f
+    f3 = f2 * f
+    w0 = -0.5 * f3 + f2 - 0.5 * f
+    w1 = 1.5 * f3 - 2.5 * f2 + 1.0
+    w2 = -1.5 * f3 + 2.0 * f2 + 0.5 * f
+    w3 = 0.5 * f3 - 0.5 * f2
+    return w0, w1, w2, w3
+
+
+def sample_image_nearest(xp, img, x, y, x_extend: int, y_extend: int):
+    h, w = img.shape[0], img.shape[1]
+
+    def wrap(v, n, mode):
+        t = apply_extend(xp, v / n, mode) * n
+        return xp.clip(t, 0.0, n - 1e-3)
+
+    xi = xp.floor(wrap(x - 0.5, w, x_extend) + 0.5).astype("int32")
+    yi = xp.floor(wrap(y - 0.5, h, y_extend) + 0.5).astype("int32")
+    return img[xp.clip(yi, 0, h - 1), xp.clip(xi, 0, w - 1)]
+
+
+def sample_image_bicubic(xp, img, x, y, x_extend: int, y_extend: int):
+    """Catmull-Rom bicubic (4x4 taps)."""
+    h, w = img.shape[0], img.shape[1]
+
+    def wrap(v, n, mode):
+        t = apply_extend(xp, v / n, mode) * n
+        return xp.clip(t, 0.0, n - 1e-3)
+
+    xs = wrap(x - 0.5, w, x_extend)
+    ys = wrap(y - 0.5, h, y_extend)
+    x0 = xp.floor(xs).astype("int32")
+    y0 = xp.floor(ys).astype("int32")
+    fx = xs - x0
+    fy = ys - y0
+    wx = cubic_weights(xp, fx)
+    wy = cubic_weights(xp, fy)
+    out = 0.0
+    for j in range(4):
+        row = 0.0
+        yj = xp.clip(y0 + (j - 1), 0, h - 1)
+        for i in range(4):
+            xi = xp.clip(x0 + (i - 1), 0, w - 1)
+            row = row + img[yj, xi] * wx[i][..., None]
+        out = out + row * wy[j][..., None]
+    return xp.clip(out, 0.0, 1.0)
+
+
 def sample_image_bilinear(xp, img, x, y, x_extend: int, y_extend: int):
     """img: (H, W, 4) f32 premultiplied. x/y: pixel coords in image space."""
     h, w = img.shape[0], img.shape[1]

@@ -14,19 +14,35 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_bounds(sorted_ids: jnp.ndarray, num_segments: int):
-    """(lo, hi) index ranges of each segment in a sorted id array."""
-    seg = jnp.arange(num_segments, dtype=sorted_ids.dtype)
-    lo = jnp.searchsorted(sorted_ids, seg, side="left")
-    hi = jnp.searchsorted(sorted_ids, seg, side="right")
-    return lo, hi
+def segment_starts(sorted_ids: jnp.ndarray, num_segments: int):
+    """starts[s] = first index with id >= s, for s in [0, num_segments].
+    starts[s+1] doubles as the END of segment s, so one searchsorted serves
+    both bounds (searchsorted costs ~20 serialized gathers on TPU)."""
+    seg = jnp.arange(num_segments + 1, dtype=sorted_ids.dtype)
+    return jnp.searchsorted(sorted_ids, seg, side="left")
 
 
-def segment_sum_from_bounds(vals: jnp.ndarray, lo: jnp.ndarray,
-                            hi: jnp.ndarray) -> jnp.ndarray:
+def segment_sum_from_starts(vals: jnp.ndarray, starts: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Segment sums via one cumsum + ONE gather: out[s] =
+    cpad[starts[s+1]] - cpad[starts[s]] = diff(cpad[starts])."""
     c = jnp.cumsum(vals, axis=0)
     zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
     cpad = jnp.concatenate([zero, c], axis=0)          # cpad[i] = sum(<i)
+    at = cpad[starts]
+    return at[1:] - at[:-1]
+
+
+def segment_bounds(sorted_ids: jnp.ndarray, num_segments: int):
+    """(lo, hi) index ranges of each segment in a sorted id array."""
+    starts = segment_starts(sorted_ids, num_segments)
+    return starts[:-1], starts[1:]
+
+
+def segment_sum_from_bounds(vals, lo, hi):
+    c = jnp.cumsum(vals, axis=0)
+    zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
+    cpad = jnp.concatenate([zero, c], axis=0)
     return cpad[hi] - cpad[lo]
 
 
@@ -38,8 +54,8 @@ def segment_sum_sorted(vals: jnp.ndarray, sorted_ids: jnp.ndarray,
     the cumsum-difference loses ~sqrt(N)*eps relative accuracy — acceptable
     for coverage (bounded winding).
     """
-    lo, hi = segment_bounds(sorted_ids, num_segments)
-    return segment_sum_from_bounds(vals, lo, hi)
+    starts = segment_starts(sorted_ids, num_segments)
+    return segment_sum_from_starts(vals, starts)
 
 
 def segment_ends_sorted(sorted_ids: jnp.ndarray) -> jnp.ndarray:

@@ -247,8 +247,10 @@ def eval_paint(rs: ResolvedScene, p: int, width: int, height: int
     if kind == PAINT_IMAGE:
         ax, ay, w, h, xe, ye, qual, alpha = rs.image_rec[p]
         sub = rs.atlas[int(ay):int(ay + h), int(ax):int(ax + w)]
-        rgba = paint_ops.sample_image_bilinear(np, sub.astype(np.float64),
-                                               lx, ly, int(xe), int(ye))
+        sampler = {0: paint_ops.sample_image_nearest,
+                   1: paint_ops.sample_image_bilinear,
+                   2: paint_ops.sample_image_bicubic}[int(qual)]
+        rgba = sampler(np, sub.astype(np.float64), lx, ly, int(xe), int(ye))
         return rgba * float(alpha)
     if kind == PAINT_BLUR_RECT:
         x0, y0, x1, y1, radius, std = rs.blur_rec[p][:6]

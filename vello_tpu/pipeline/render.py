@@ -84,12 +84,12 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     bdval_s = touches["backdrop_val"][tix_s]
     cov = fine_xla.coverage_delta(seg_s, yedge_s)       # (T, 256)
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
-    # One set of segment bounds for both coverage and the backdrop-delta
-    # channel (deltas target ftile+1 => roll the summed channel by one tile).
-    from ..ops.segmented import segment_bounds, segment_sum_from_bounds
-    lo_b, hi_b = segment_bounds(seg_ids, caps.n_path_tiles)
-    frag_cov = segment_sum_from_bounds(cov, lo_b, hi_b)  # (F, 256)
-    bd_sum = segment_sum_from_bounds(bdval_s, lo_b, hi_b)
+    # One searchsorted + one gather serve both coverage and the
+    # backdrop-delta channel (deltas target ftile+1 => roll by one tile).
+    from ..ops.segmented import segment_starts, segment_sum_from_starts
+    starts = segment_starts(seg_ids, caps.n_path_tiles)
+    frag_cov = segment_sum_from_starts(cov, starts)      # (F, 256)
+    bd_sum = segment_sum_from_starts(bdval_s, starts)
     bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
     # --- per flat tile metadata ---
