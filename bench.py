@@ -13,6 +13,7 @@ import sys
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 BASELINE_FPS = 177.0
 COMPLEXITY = int(os.environ.get("BENCH_COMPLEXITY", "10"))   # ~10k elements
@@ -67,6 +68,26 @@ def main():
     n_paths = rs.n_paths
     n_segs = rs.n_segs
     msegs = rs.est_lines * fps / 1e6
+
+    # Batched serving throughput: vmap over B frames (the dp axis on one
+    # chip) — amortizes fixed per-dispatch costs.
+    batch_fps = None
+    B = int(os.environ.get("BENCH_BATCH", "4"))
+    if B > 1:
+        from functools import partial
+
+        from vello_tpu.pipeline.render import render_frame
+        bfn = jax.jit(jax.vmap(partial(render_frame, static=static)))
+        bbufs = {k: jnp.stack([v] * B) for k, v in
+                 ((k, jnp.asarray(v)) for k, v in bufs.items())}
+        imgs, ovf = bfn(bbufs)
+        int(jax.device_get(ovf).sum())
+        t0 = time.time()
+        for _ in range(max(ITERS // 2, 3)):
+            imgs, ovf = bfn(bbufs)
+        int(jax.device_get(ovf).sum())
+        bdt = (time.time() - t0) / max(ITERS // 2, 3)
+        batch_fps = B / bdt
     result = {
         "metric": f"fps filled_mmark-{COMPLEXITY}k {SIZE}x{SIZE} area-AA "
                   f"({n_paths} paths, {n_segs} segs, ~{rs.est_lines} lines)",
@@ -75,6 +96,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "extra": {
             "frame_ms": round(dt * 1e3, 2),
+            "batched_fps": round(batch_fps, 2) if batch_fps else None,
             "mlines_per_s": round(msegs, 2),
             "compile_s": round(compile_s, 1),
             "encode_s": round(encode_s, 2),

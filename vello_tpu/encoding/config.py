@@ -30,6 +30,17 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
+def next_tier_size(n: int) -> int:
+    """Smallest of {2^k, 1.5*2^k} >= n: halves the worst-case padding waste
+    of pure power-of-two tiers at the cost of 2x the compile variants (which
+    the persistent compilation cache absorbs)."""
+    n = max(int(n), 1)
+    p = next_pow2(n)
+    if n <= (p >> 1) + (p >> 2):  # n <= 0.75 * p  =>  1.5 * p/2 fits
+        return (p >> 1) + (p >> 2)
+    return p
+
+
 @dataclass(frozen=True)
 class Capacities:
     """Static buffer capacities — the shape signature of the jitted pipeline.
@@ -61,7 +72,7 @@ def tier_for(n_tags: int, n_points: int, n_segs: int, est_lines: int,
              n_transforms: int, n_styles: int, n_ramps: int) -> Capacities:
     """Pick the smallest power-of-two tier covering the estimates."""
     def up(n, lo):
-        return max(lo, next_pow2(max(int(n), 1)))
+        return max(lo, next_tier_size(max(int(n), 1)))
 
     return Capacities(
         n_tags=up(n_tags, 256),

@@ -1,0 +1,109 @@
+"""Pallas TPU kernels for the hot fine-raster ops.
+
+``coverage_cumsum``: fuses the exact-area per-pixel winding computation
+(fine.wgsl fill_path closed form) with the running cumulative sum that the
+segmented reduction consumes. The XLA version materializes the (T, 256)
+coverage tensor to HBM and re-reads it for the cumsum (~1 GB of traffic per
+frame at the top tier); here each block of touches is computed and
+prefix-summed in VMEM, with the inter-block carry living in scratch —
+TPU Pallas grids execute sequentially on a core, so carry state across grid
+steps is exact.
+
+Enabled by default on TPU; VELLO_TPU_NO_PALLAS=1 falls back to pure XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..encoding.config import TILE_H, TILE_W
+
+NPX = TILE_H * TILE_W
+BLK = 1024  # touches per grid step
+
+
+def _cov_kernel(seg_ref, yedge_ref, out_ref, carry_ref):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    seg = seg_ref[...]                       # (BLK, 4)
+    yedge = yedge_ref[...]                   # (BLK, 1)
+    lin_i = jax.lax.broadcasted_iota(jnp.int32, (1, NPX), 1)
+    px = jnp.mod(lin_i, TILE_W).astype(jnp.float32)
+    py = (lin_i // TILE_W).astype(jnp.float32)
+    p0x = seg[:, 0][:, None]
+    p0y = seg[:, 1][:, None]
+    p1x = seg[:, 2][:, None]
+    p1y = seg[:, 3][:, None]
+    dx = p1x - p0x
+    dy = p1y - p0y
+    y = p0y - py
+    y0 = jnp.clip(y, 0.0, 1.0)
+    y1 = jnp.clip(y + dy, 0.0, 1.0)
+    dyc = y0 - y1
+    inv_dy = 1.0 / jnp.where(dy == 0.0, 1.0, dy)
+    t0 = (y0 - y) * inv_dy
+    t1 = (y1 - y) * inv_dy
+    startx = p0x - px
+    x0 = startx + t0 * dx
+    x1 = startx + t1 * dx
+    xmin = jnp.minimum(jnp.minimum(x0, x1), 1.0) - 1e-6
+    xmax = jnp.maximum(x0, x1)
+    b = jnp.minimum(xmax, 1.0)
+    c = jnp.maximum(b, 0.0)
+    d = jnp.maximum(xmin, 0.0)
+    a = (b + 0.5 * (d * d - c * c) - xmin) / (xmax - xmin)
+    area = jnp.where(dyc != 0.0, a * dyc, 0.0)
+    area = area + jnp.sign(dx) * jnp.clip(py - yedge + 1.0, 0.0, 1.0)
+    # running prefix sum across the whole stream; cumsum has no Pallas TPU
+    # lowering, so Hillis-Steele doubling over the sublane axis (log2 BLK
+    # shifted adds, all in VMEM).
+    csum = area
+    shift = 1
+    while shift < BLK:
+        shifted = jnp.concatenate(
+            [jnp.zeros((shift, NPX), jnp.float32), csum[:BLK - shift]],
+            axis=0)
+        csum = csum + shifted
+        shift *= 2
+    csum = csum + carry_ref[...]
+    out_ref[...] = csum
+    carry_ref[...] = csum[BLK - 1:BLK, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def coverage_cumsum_pallas(seg, y_edge, interpret=False):
+    """seg (T,4) f32, y_edge (T,) -> inclusive cumsum of coverage (T, NPX)."""
+    t = seg.shape[0]
+    assert t % BLK == 0, t
+    grid = (t // BLK,)
+    return pl.pallas_call(
+        _cov_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLK, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLK, NPX), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, NPX), jnp.float32)],
+        interpret=interpret,
+    )(seg, y_edge[:, None])
+
+
+def use_pallas() -> bool:
+    if os.environ.get("VELLO_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"

@@ -82,13 +82,22 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     seg_s = touches["seg"][tix_s]
     yedge_s = touches["y_edge"][tix_s]
     bdval_s = touches["backdrop_val"][tix_s]
-    cov = fine_xla.coverage_delta(seg_s, yedge_s)       # (T, 256)
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
     # One searchsorted + one gather serve both coverage and the
     # backdrop-delta channel (deltas target ftile+1 => roll by one tile).
+    from ..ops.pallas_kernels import coverage_cumsum_pallas, use_pallas
     from ..ops.segmented import segment_starts, segment_sum_from_starts
     starts = segment_starts(seg_ids, caps.n_path_tiles)
-    frag_cov = segment_sum_from_starts(cov, starts)      # (F, 256)
+    if use_pallas():
+        # Fused Pallas kernel: winding coverage + running cumsum in VMEM.
+        csum = coverage_cumsum_pallas(seg_s, yedge_s)
+        cpad = jnp.concatenate(
+            [jnp.zeros((1, TILE_H * TILE_W), jnp.float32), csum])
+        at = cpad[starts]
+        frag_cov = at[1:] - at[:-1]                      # (F, 256)
+    else:
+        cov = fine_xla.coverage_delta(seg_s, yedge_s)    # (T, 256)
+        frag_cov = segment_sum_from_starts(cov, starts)
     bd_sum = segment_sum_from_starts(bdval_s, starts)
     bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
