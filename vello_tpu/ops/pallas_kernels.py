@@ -107,3 +107,52 @@ def use_pallas() -> bool:
     if os.environ.get("VELLO_TPU_NO_PALLAS"):
         return False
     return jax.default_backend() == "tpu"
+
+
+def _cumsum_kernel(x_ref, out_ref, carry_ref, *, blk, cols):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    csum = x_ref[...]
+    shift = 1
+    while shift < blk:
+        shifted = jnp.concatenate(
+            [jnp.zeros((shift, cols), jnp.float32), csum[:blk - shift]],
+            axis=0)
+        csum = csum + shifted
+        shift *= 2
+    csum = csum + carry_ref[...]
+    out_ref[...] = csum
+    carry_ref[...] = csum[blk - 1:blk, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cumsum_pallas(x, interpret=False):
+    """Streaming inclusive cumsum over axis 0 of (T, C) f32 — one pass over
+    HBM instead of XLA's multi-pass scan materialization."""
+    t, c = x.shape
+    # VMEM budget: in+out blocks are double-buffered (~4 copies live);
+    # keep one block under ~2.5 MB.
+    blk = BLK
+    while blk * c * 4 > 2_500_000 and blk > 8:
+        blk //= 2
+    while t % blk != 0:
+        blk //= 2
+    if blk < 8:
+        return jnp.cumsum(x, axis=0)
+    grid = (t // blk,)
+    kern = functools.partial(_cumsum_kernel, blk=blk, cols=c)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec((blk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((blk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
+        interpret=interpret,
+    )(x)

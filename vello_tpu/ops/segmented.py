@@ -22,11 +22,22 @@ def segment_starts(sorted_ids: jnp.ndarray, num_segments: int):
     return jnp.searchsorted(sorted_ids, seg, side="left")
 
 
+def _cumsum0(vals):
+    """Inclusive cumsum over axis 0; streams through the Pallas kernel for
+    big 2-D f32 arrays on TPU."""
+    if vals.ndim == 2 and vals.dtype == jnp.float32 \
+            and vals.shape[0] >= 4096 and vals.shape[1] % 128 == 0:
+        from .pallas_kernels import cumsum_pallas, use_pallas
+        if use_pallas():
+            return cumsum_pallas(vals)
+    return jnp.cumsum(vals, axis=0)
+
+
 def segment_sum_from_starts(vals: jnp.ndarray, starts: jnp.ndarray
                             ) -> jnp.ndarray:
     """Segment sums via one cumsum + ONE gather: out[s] =
     cpad[starts[s+1]] - cpad[starts[s]] = diff(cpad[starts])."""
-    c = jnp.cumsum(vals, axis=0)
+    c = _cumsum0(vals)
     zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
     cpad = jnp.concatenate([zero, c], axis=0)          # cpad[i] = sum(<i)
     at = cpad[starts]
@@ -74,7 +85,7 @@ def segment_suffix_sum_sorted(vals: jnp.ndarray, sorted_ids: jnp.ndarray
     """Per-element sum of LATER elements in the same segment (exclusive
     suffix): s_i = sum_{j>i, id_j == id_i} vals_j. Used by the transmittance
     composite."""
-    c = jnp.cumsum(vals, axis=0)
+    c = _cumsum0(vals)
     seg_end = segment_ends_sorted(sorted_ids)
     return c[seg_end] - c
 
