@@ -1,0 +1,78 @@
+"""Property tests (reference: vello_tests/tests/property.rs): randomized
+scenes through both renderers; invariants that must hold for any input."""
+
+import numpy as np
+import pytest
+
+from vello_tpu import Affine, Fill, RenderParams, Scene, Stroke
+from vello_tpu.kurbo import BezPath
+from vello_tpu.models.renderer import Renderer
+from vello_tpu.oracle import OracleRenderer
+from vello_tpu.peniko import palette
+
+COLORS = [palette.RED, palette.LIME, palette.BLUE, palette.YELLOW,
+          palette.CYAN, palette.MAGENTA]
+
+
+def random_path(rng, n_verbs=8, span=64.0):
+    p = BezPath()
+    p.move_to(*rng.uniform(0, span, 2))
+    for _ in range(n_verbs):
+        k = rng.integers(0, 4)
+        if k == 0:
+            p.line_to(*rng.uniform(-8, span + 8, 2))
+        elif k == 1:
+            p.quad_to(*rng.uniform(-8, span + 8, 4))
+        elif k == 2:
+            p.curve_to(*rng.uniform(-8, span + 8, 6))
+        else:
+            p.close()
+    return p
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_scene_device_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    for i in range(6):
+        path = random_path(rng)
+        rule = Fill.NON_ZERO if rng.random() < 0.5 else Fill.EVEN_ODD
+        c = COLORS[i % 6].with_alpha(float(rng.uniform(0.3, 1.0)))
+        t = Affine.rotate_about(float(rng.uniform(-0.5, 0.5)), 32, 32)
+        if rng.random() < 0.3:
+            s.stroke(Stroke(width=float(rng.uniform(1, 6))), t, c, None,
+                     path)
+        else:
+            s.fill(rule, t, c, None, path)
+    params = RenderParams(64, 64, base_color=(0, 0, 0, 1))
+    a = OracleRenderer().render(s, params)
+    b = Renderer().render(s, params)
+    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+    assert np.isfinite(b).all()
+    assert d.mean() < 1e-3, d.mean()
+    # random torture paths hit tile-boundary epsilon cases; a few
+    # isolated edge pixels may differ visibly between formulations
+    assert d.max() < 0.3, d.max()
+    assert (d.max(axis=-1) > 0.05).sum() < 10
+
+
+def test_output_range_invariants():
+    rng = np.random.default_rng(7)
+    s = Scene()
+    for i in range(4):
+        s.fill(Fill.NON_ZERO, Affine.identity(),
+               COLORS[i].with_alpha(0.7), None, random_path(rng))
+    img = Renderer().render(s, RenderParams(64, 64))
+    # premultiplied invariants: 0 <= rgb <= a <= 1
+    assert (img >= -1e-6).all() and (img <= 1 + 1e-6).all()
+    assert (img[..., :3] <= img[..., 3:4] + 1e-5).all()
+
+
+def test_probe():
+    from vello_tpu.utils.probe import (regenerate_probe_reference, run_probe,
+                                       PROBE_PATH)
+    import os
+    if not os.path.exists(PROBE_PATH):
+        regenerate_probe_reference()
+    assert run_probe(Renderer())
+    assert run_probe(OracleRenderer())

@@ -19,11 +19,15 @@ import jax.numpy as jnp
 # the tunneled backend; cache them across processes (pipeline_cache role).
 import os as _os
 try:
-    _cache = _os.path.join(_os.path.dirname(_os.path.dirname(
-        _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
-    _os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not (_os.environ.get("JAX_PLATFORM_NAME") == "cpu"
+            or _os.environ.get("JAX_PLATFORMS") == "cpu"):
+        # TPU only: CPU AOT cache entries embed machine features and warn/
+        # risk SIGILL when reloaded on a different host.
+        _cache = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__)))), ".jax_cache")
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
 

@@ -169,6 +169,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
 def _tiles_to_image(tiles, static, ht_local, crop_h: bool):
     """(G, 4, NPX) channel-planar tiles -> (H, W, 4) image."""
     WT = static.width_tiles
+    # enforce the premultiplied invariant (0 <= rgb <= a <= 1); f32 rounding
+    # in the transmittance composite can exceed it by ~1e-5
+    a = jnp.clip(tiles[:, 3:4], 0.0, 1.0)
+    tiles = jnp.concatenate([jnp.clip(tiles[:, :3], 0.0, a), a], axis=1)
     img = tiles.reshape(ht_local, WT, 4, TILE_H, TILE_W)
     img = img.transpose(0, 3, 1, 4, 2).reshape(ht_local * TILE_H,
                                                WT * TILE_W, 4)
