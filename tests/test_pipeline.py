@@ -216,3 +216,18 @@ def test_image_quality_modes():
         s = Scene()
         s.draw_image(img, Affine.translate(8, 8) @ Affine.scale(3.5))
         check(s, mean_tol=3e-3, max_tol=0.1)
+
+
+def test_luminance_mask_layer():
+    """Content of a luminance-mask layer multiplies the backdrop's alpha by
+    its luminance (reference: push_luminance_mask_layer + fine.wgsl:1150)."""
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.MAGENTA, None,
+           rect_path(4, 4, 60, 60))
+    s.push_luminance_mask_layer(1.0, Affine.identity(), rect_path(4, 4, 60, 60))
+    g = Gradient.linear((4, 0), (60, 0), stops(palette.BLACK, palette.WHITE))
+    s.fill(Fill.NON_ZERO, Affine.identity(), g, None, rect_path(4, 4, 60, 60))
+    s.pop_layer()
+    img = check(s)
+    assert img[32, 6, 0] < 0.1     # black mask end: magenta masked away
+    assert img[32, 58, 0] > 0.9    # white mask end: magenta kept

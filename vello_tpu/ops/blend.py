@@ -175,6 +175,19 @@ def blend_mix_compose(xp, backdrop, src, mix: int, compose: int):
     return xp.concatenate([rgb, a], axis=-1)
 
 
+def svg_luminance(xp, rgb):
+    """SVG luminanceToAlpha coefficients (the reference's svg_lum)."""
+    return (0.2125 * rgb[..., 0] + 0.7154 * rgb[..., 1]
+            + 0.0721 * rgb[..., 2])
+
+
+def luminance_mask(xp, backdrop, fg):
+    """bg * clamp(lum(unpremul fg) * fg.a, 0, 1) — fine.wgsl:1150-1165."""
+    rgb, a = _unpremul(xp, fg)
+    lum = xp.clip(svg_luminance(xp, rgb) * a, 0.0, 1.0)
+    return backdrop * lum[..., None]
+
+
 def src_over(xp, backdrop, src):
     """Premultiplied source-over (the hot default)."""
     return src + backdrop * (1.0 - src[..., 3:4])

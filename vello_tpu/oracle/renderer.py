@@ -329,13 +329,16 @@ class OracleRenderer:
                     continue
                 buf, clip, mix, compose, alpha = stack.pop()
                 parent = stack[-1][0]
-                src = buf * alpha
-                blended = blend_ops.blend_mix_compose(np, parent, src,
-                                                      mix, compose)
-                if clip is None:
-                    parent[...] = blended
+                c = clip[..., None] if clip is not None else \
+                    np.ones((H, W, 1))
+                if mix == int(Mix.LUMINANCE_MASK):
+                    fg = buf * c * alpha
+                    masked = blend_ops.luminance_mask(np, parent, fg)
+                    parent[...] = np.where(c > 0.0, masked, parent)
                 else:
-                    c = clip[..., None]
+                    src = buf * alpha
+                    blended = blend_ops.blend_mix_compose(np, parent, src,
+                                                          mix, compose)
                     parent[...] = parent * (1.0 - c) + blended * c
             else:
                 p = int(rs.draw_path_ix[d])

@@ -221,6 +221,9 @@ class Mix(IntEnum):
     LUMINOSITY = 15
     # 128 in the reference encoding: clip = normal mix, used as marker.
     CLIP = 128
+    # Layer whose content becomes a luminance mask over the backdrop
+    # (reference LUMINANCE_MASK_LAYER, fine.wgsl:1150-1165).
+    LUMINANCE_MASK = 127
 
 
 class Compose(IntEnum):

@@ -159,14 +159,21 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
                 continue
             ccov, alpha = clips.pop()
             parent = stack[-1]
-            src = top * alpha
-            # blend ops are channel-last; pops touch few buffers, so the
-            # transposes are cheap relative to the per-fragment stages.
-            blended = blend_ops.blend_mix_compose(
-                jnp, parent.transpose(0, 2, 1), src.transpose(0, 2, 1),
-                mix, compose).transpose(0, 2, 1)
             c = ccov[:, None, :]
-            stack[-1] = parent * (1.0 - c) + blended * c
+            if mix == 127:  # LUMINANCE_MASK (fine.wgsl:1150-1165)
+                fg = top * c * alpha
+                masked = blend_ops.luminance_mask(
+                    jnp, parent.transpose(0, 2, 1),
+                    fg.transpose(0, 2, 1)).transpose(0, 2, 1)
+                stack[-1] = jnp.where(c > 0.0, masked, parent)
+            else:
+                src = top * alpha
+                # blend ops are channel-last; pops touch few buffers, so
+                # transposes are cheap relative to the per-fragment stages.
+                blended = blend_ops.blend_mix_compose(
+                    jnp, parent.transpose(0, 2, 1), src.transpose(0, 2, 1),
+                    mix, compose).transpose(0, 2, 1)
+                stack[-1] = parent * (1.0 - c) + blended * c
 
     tiles = stack[0]
     img = _tiles_to_image(tiles, static, fr["ht_local"], stripe is None)

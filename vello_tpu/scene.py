@@ -90,6 +90,15 @@ class Scene:
         self.encoding.n_open_layers += 1
         self._layer_depth += 1
 
+    def push_luminance_mask_layer(self, alpha: float, transform: Affine,
+                                  clip_path: Optional[BezPath],
+                                  fill_rule: Fill = Fill.NON_ZERO) -> None:
+        """Content drawn in this layer becomes a luminance mask over the
+        prior content (reference: Scene::push_luminance_mask_layer,
+        scene.rs:154-168)."""
+        self.push_layer(BlendMode(Mix.LUMINANCE_MASK, Compose.SRC_OVER),
+                        alpha, transform, clip_path, fill_rule)
+
     def push_clip_layer(self, transform: Affine, clip_path: BezPath,
                         fill_rule: Fill = Fill.NON_ZERO) -> None:
         self.push_layer(BlendMode(Mix.CLIP, Compose.SRC_OVER), 1.0,

@@ -386,3 +386,24 @@ def tiger(size: float = 256.0, asset: str = None) -> Scene:
         (size - s * (x1 - x0)) / 2 - s * x0,
         (size - s * (y1 - y0)) / 2 - s * y0) @ Affine.scale(s)
     return load_svg(asset, transform=fit)
+
+
+def luminance_masks(size: float = 256.0) -> Scene:
+    """Luminance-mask layer scene (reference: mask test suite)."""
+    s = Scene()
+    k = size / 256.0
+    g = Gradient.linear((0, 0), (size, size),
+                        stops(palette.RED, palette.BLUE))
+    s.fill(Fill.NON_ZERO, Affine.identity(), g, None,
+           rect_path(0, 0, size, size))
+    s.push_luminance_mask_layer(1.0, Affine.identity(),
+                                rect_path(0, 0, size, size))
+    mg = Gradient.radial((128 * k, 128 * k), 120 * k,
+                         stops(palette.WHITE, palette.BLACK))
+    s.fill(Fill.NON_ZERO, Affine.identity(), mg, None,
+           circle_path(128 * k, 128 * k, 120 * k))
+    s.pop_layer()
+    return s
+
+
+LAYER_SCENES["luminance_masks"] = luminance_masks
