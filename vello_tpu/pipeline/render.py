@@ -77,11 +77,13 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     touches = tiling.make_touches(lines, lpath, rects, caps.n_touches)
 
     # --- sort touches by flat tile (the "coarse" sort) ---
-    tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
-    ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
-    seg_s = touches["seg"][tix_s]
-    yedge_s = touches["y_edge"][tix_s]
-    bdval_s = touches["backdrop_val"][tix_s]
+    # Payloads ride the sort network directly: carrying 6 f32 operands
+    # through lax.sort is cheaper than 3 post-sort gathers (~5-7 ms each).
+    seg = touches["seg"]
+    (ftile_s, s0, s1, s2, s3, yedge_s, bdval_s) = jax.lax.sort(
+        (touches["ftile"], seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
+         touches["y_edge"], touches["backdrop_val"]), num_keys=1)
+    seg_s = jnp.stack([s0, s1, s2, s3], axis=-1)
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
     # One searchsorted + one gather serve both coverage and the
     # backdrop-delta channel (deltas target ftile+1 => roll by one tile).
