@@ -156,3 +156,99 @@ def cumsum_pallas(x, interpret=False):
         scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
         interpret=interpret,
     )(x)
+
+
+# ---------------------------------------------------------------------------
+# Fused fine composite (solid-color fast path)
+#
+# Replaces the XLA fragment chain (paint eval -> src materialization ->
+# transmittance log/exp composite) for scenes whose paints are all solid
+# colors: one pass over the sorted coverage rows, compositing
+# dst = src + dst*(1-a) directly in VMEM per global tile. Traffic drops from
+# ~1.5 GB of (F,4,256) intermediates to one 67 MB coverage read + 4 MB image
+# write. The PTCL-interpreter role of fine.wgsl, minus the bytecode.
+
+FINE_CHUNK = 128  # fragments DMA'd per step (128*4KB = 512KB buffer)
+
+
+def _fine_kernel(starts_ref,           # scalar prefetch: (G+1,) i32
+                 src_hbm,              # HBM: (F, 4, 256) premultiplied src
+                 base_ref,             # VMEM: (1, 4) f32 premultiplied
+                 out_ref,              # VMEM out: (1, 4, 256)
+                 src_buf, win_ref, sem):
+    g = pl.program_id(0)
+    lo = starts_ref[g]
+    hi = starts_ref[g + 1]
+
+    @pl.when(g == 0)
+    def _():
+        win_ref[0] = -1  # no chunk resident
+
+    base = base_ref[0, :]
+    dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
+
+    # Walk chunk-aligned windows covering [lo, hi). The resident-window
+    # index persists across grid steps (sequential TPU grid), so
+    # consecutive tiles sharing a window skip the DMA — each fragment is
+    # fetched ~once per frame instead of once per touched tile.
+    c0 = lo // FINE_CHUNK
+    c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
+
+    def chunk_body(k, dst):
+        cidx = c0 + k
+        cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
+
+        @pl.when(win_ref[0] != cidx)
+        def _():
+            cp = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(cstart, FINE_CHUNK)], src_buf, sem)
+            cp.start()
+            cp.wait()
+            win_ref[0] = cidx
+
+        i_lo = jnp.maximum(lo - cstart, 0)
+        i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
+
+        def frag_body(i, dst):
+            src = src_buf[i]                          # (4, 256) premul
+            return src + dst * (1.0 - src[3:4, :])
+
+        return jax.lax.fori_loop(i_lo, i_hi, frag_body, dst)
+
+    dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
+    out_ref[0] = dst
+
+
+def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
+                         interpret=False):
+    """src_sorted (F, 4, 256) premultiplied paint*coverage rows in
+    (gtile, order) order; starts (G+1,) i32 per-gtile fragment ranges.
+    Sequentially composites dst = src + dst*(1-a) per tile in VMEM —
+    exact ordered src-over with no log/exp trick and none of the XLA
+    suffix/cumsum/gather passes. Returns (G, 4, 256) composited tiles."""
+    # Pad one chunk: dynamic slices clamp their start when out of bounds,
+    # which would silently shift the last tiles' fragment windows.
+    src_sorted = jnp.concatenate(
+        [src_sorted,
+         jnp.zeros((FINE_CHUNK,) + src_sorted.shape[1:], src_sorted.dtype)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_gtiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # src rows stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # base color
+        ],
+        out_specs=pl.BlockSpec((1, 4, NPX), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((FINE_CHUNK, 4, NPX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _fine_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_gtiles, 4, NPX), jnp.float32),
+        interpret=interpret,
+    )(starts, src_sorted, base_premul[None, :])

@@ -46,7 +46,7 @@ class PipelineStatic:
 
 
 def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
-                      keep_clip_paths: bool = False):
+                      keep_clip_paths: bool = False, want_src: bool = True):
     """Run geometry + fine stages; return sorted per-fragment data.
 
     Fragments = (path, touched-tile) pairs (the reference's Tile records),
@@ -132,15 +132,17 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
     coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
-    src = fine_xla.eval_paints(
-        (tx * TILE_W).astype(jnp.float32), (ty * TILE_H).astype(jnp.float32),
-        bufs["paint_kind"][tpath], bufs["color"][tpath],
-        bufs["grad_rec"][tpath], bufs["paint_inv"][tpath],
-        bufs["image_rec"][tpath], bufs["blur_rec"][tpath],
-        bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
-    src = src * coverage[:, None, :]                     # (F, 4, NPX)
-    if keep_clip_paths:
-        src = jnp.where(is_clip[:, None, None], 0.0, src)
+    if want_src:
+        src = fine_xla.eval_paints(
+            (tx * TILE_W).astype(jnp.float32),
+            (ty * TILE_H).astype(jnp.float32),
+            bufs["paint_kind"][tpath], bufs["color"][tpath],
+            bufs["grad_rec"][tpath], bufs["paint_inv"][tpath],
+            bufs["image_rec"][tpath], bufs["blur_rec"][tpath],
+            bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
+        src = src * coverage[:, None, :]                 # (F, 4, NPX)
+        if keep_clip_paths:
+            src = jnp.where(is_clip[:, None, None], 0.0, src)
 
     # --- sort fragments by (local gtile, draw order) ---
     if stripe is None:
@@ -151,19 +153,20 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     owned = tvalid & (tx < WT) & (ty >= ty_lo) & (ty < ty_lo + ht_local)
     gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
     g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
-    src_s = src[fidx_s]
     overflow = fl["overflow"] + 4 * touches["overflow"] + 8 * overflow_tiles
     out = {
         "g_s": g_s,                    # sorted local gtile per fragment
         "tpath_s": tpath_s,            # owning path (draw order key)
-        "src_s": src_s,                # premultiplied paint*coverage (F,4,P)
-        "alpha_s": src_s[:, 3, :],     # (F, NPX)
         "n_loc": n_loc,
         "ht_local": ht_local,
         "WT": WT,
         "overflow": overflow,
     }
-    if keep_clip_paths:
+    if want_src:
+        src_s = src[fidx_s]
+        out["src_s"] = src_s           # premultiplied paint*coverage (F,4,P)
+        out["alpha_s"] = src_s[:, 3, :]
+    if keep_clip_paths or not want_src:
         out["coverage_s"] = coverage[fidx_s]
     return out
 
@@ -190,11 +193,22 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
 
     Returns (image (H, W, 4) premultiplied f32, overflow flags i32).
     """
-    fr = prepare_fragments(bufs, static, stripe)
+    from ..ops.pallas_kernels import fine_composite_solid, use_pallas
     base = bufs["base_color"]
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
-    tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
-                                       fr["g_s"], fr["n_loc"], base_premul)
+    fr = prepare_fragments(bufs, static, stripe)
+    if use_pallas() and stripe is None:
+        # Fused Pallas fine: per-tile sequential src-over in VMEM replaces
+        # the XLA suffix-sum/exp/segmented-sum composite passes.
+        starts_g = jnp.searchsorted(
+            fr["g_s"], jnp.arange(fr["n_loc"] + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        tiles = fine_composite_solid(fr["src_s"], base_premul, starts_g,
+                                     fr["n_loc"])
+    else:
+        tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
+                                           fr["g_s"], fr["n_loc"],
+                                           base_premul)
     img = _tiles_to_image(tiles, static, fr["ht_local"], stripe is None)
     return img, fr["overflow"]
 
