@@ -132,18 +132,6 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
     coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
-    if want_src:
-        src = fine_xla.eval_paints(
-            (tx * TILE_W).astype(jnp.float32),
-            (ty * TILE_H).astype(jnp.float32),
-            bufs["paint_kind"][tpath], bufs["color"][tpath],
-            bufs["grad_rec"][tpath], bufs["paint_inv"][tpath],
-            bufs["image_rec"][tpath], bufs["blur_rec"][tpath],
-            bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
-        src = src * coverage[:, None, :]                 # (F, 4, NPX)
-        if keep_clip_paths:
-            src = jnp.where(is_clip[:, None, None], 0.0, src)
-
     # --- sort fragments by (local gtile, draw order) ---
     if stripe is None:
         ty_lo, ht_local = 0, HT
@@ -153,6 +141,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     owned = tvalid & (tx < WT) & (ty >= ty_lo) & (ty < ty_lo + ht_local)
     gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
     g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
+    coverage_s = coverage[fidx_s]      # 1 KB rows — 4x cheaper than src rows
     overflow = fl["overflow"] + 4 * touches["overflow"] + 8 * overflow_tiles
     out = {
         "g_s": g_s,                    # sorted local gtile per fragment
@@ -161,13 +150,26 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         "ht_local": ht_local,
         "WT": WT,
         "overflow": overflow,
+        "coverage_s": coverage_s,
     }
     if want_src:
-        src_s = src[fidx_s]
+        # Paint evaluated in SORTED order (post-sort): only scalar metadata
+        # rides the permutation, never a (F, 4, NPX) tensor.
+        tx_s = tx[fidx_s]
+        ty_s = ty[fidx_s]
+        src_s = fine_xla.eval_paints(
+            (tx_s * TILE_W).astype(jnp.float32),
+            (ty_s * TILE_H).astype(jnp.float32),
+            bufs["paint_kind"][tpath_s], bufs["color"][tpath_s],
+            bufs["grad_rec"][tpath_s], bufs["paint_inv"][tpath_s],
+            bufs["image_rec"][tpath_s], bufs["blur_rec"][tpath_s],
+            bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
+        src_s = src_s * coverage_s[:, None, :]           # (F, 4, NPX)
+        if keep_clip_paths:
+            is_clip_s = bufs["path_kind"][tpath_s] != 0
+            src_s = jnp.where(is_clip_s[:, None, None], 0.0, src_s)
         out["src_s"] = src_s           # premultiplied paint*coverage (F,4,P)
         out["alpha_s"] = src_s[:, 3, :]
-    if keep_clip_paths or not want_src:
-        out["coverage_s"] = coverage[fidx_s]
     return out
 
 
