@@ -221,7 +221,30 @@ def _estimate(decoded, transforms, params: RenderParams):
     return est_lines, est_touches, est_path_tiles, rect
 
 
+class Resolver:
+    """Persistent resolver: retains the gradient-ramp cache and image atlas
+    across frames (the reference's ``Resolver`` owns RampCache / ImageCache /
+    GlyphCache between frames, resolve.rs:183, ramp_cache.rs:13). For
+    animated/retained scenes this keeps LUT rows and atlas slots stable so
+    the device buffers don't change shape frame to frame."""
+
+    def __init__(self):
+        self.ramp_cache = RampCache()
+        self.atlas = ImageAtlas()
+
+    def resolve(self, encoding: Encoding,
+                params: RenderParams) -> "ResolvedScene":
+        return _resolve_impl(encoding, params, self.ramp_cache, self.atlas)
+
+
 def resolve(encoding: Encoding, params: RenderParams) -> ResolvedScene:
+    """One-shot resolve with fresh caches."""
+    return _resolve_impl(encoding, params, RampCache(), ImageAtlas())
+
+
+def _resolve_impl(encoding: Encoding, params: RenderParams,
+                  ramp_cache: "RampCache",
+                  atlas: "ImageAtlas") -> ResolvedScene:
     tags, data, transforms, styles = encoding.packed_streams()
     decoded = decode_segments(tags, data, transforms, styles)
     n_paths = encoding.n_paths
@@ -251,8 +274,6 @@ def resolve(encoding: Encoding, params: RenderParams) -> ResolvedScene:
         path_tmat = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
                             (max(n_paths, 1), 1))
 
-    ramp_cache = RampCache()
-    atlas = ImageAtlas()
 
     P = max(n_paths, 1)
     paint_kind = np.zeros(P, dtype=np.int32)
