@@ -104,14 +104,11 @@ def path_tile_rects(lines, edge_lines, line_path, edge_path, n_paths_cap,
     }
 
 
-def _dda_params(lines):
-    """Per-line staircase parameters (downward-oriented)."""
-    x0, y0, x1, y1 = lines[:, 0], lines[:, 1], lines[:, 2], lines[:, 3]
-    is_down = y1 >= y0
-    qx0 = jnp.where(is_down, x0, x1)
-    qy0 = jnp.where(is_down, y0, y1)
-    qx1 = jnp.where(is_down, x1, x0)
-    qy1 = jnp.where(is_down, y1, y0)
+def _dda_from_q(qx0, qy0, qx1, qy1):
+    """Staircase parameters from downward-oriented endpoints. Deterministic
+    f32 math: recomputing per touch from the gathered endpoints yields
+    bit-identical results to the per-line computation, so only the four
+    endpoints need to ride the touch-expansion gather."""
     sx0, sy0 = qx0 / TILE_W, qy0 / TILE_H
     sx1, sy1 = qx1 / TILE_W, qy1 / TILE_H
     count_x = _span(sx0, sx1) - 1.0
@@ -136,11 +133,24 @@ def _dda_params(lines):
     x0i = xt0 * sign_x + jnp.where(pos_slope, 0.0, -1.0)
     dead = zero_len | boundary_horiz
     return {
-        "is_down": is_down, "q": (qx0, qy0, qx1, qy1),
         "count": jnp.where(dead, 0.0, count), "a": a, "b": b,
         "sign_x": sign_x, "x0i": x0i, "y0i": y0i, "sy0": sy0,
         "pos_slope": pos_slope,
     }
+
+
+def _dda_params(lines):
+    """Per-line staircase parameters (downward-oriented)."""
+    x0, y0, x1, y1 = lines[:, 0], lines[:, 1], lines[:, 2], lines[:, 3]
+    is_down = y1 >= y0
+    qx0 = jnp.where(is_down, x0, x1)
+    qy0 = jnp.where(is_down, y0, y1)
+    qx1 = jnp.where(is_down, x1, x0)
+    qy1 = jnp.where(is_down, y1, y0)
+    p = _dda_from_q(qx0, qy0, qx1, qy1)
+    p["is_down"] = is_down
+    p["q"] = (qx0, qy0, qx1, qy1)
+    return p
 
 
 def make_touches(lines, line_path, rects, n_touch_cap):
@@ -171,33 +181,32 @@ def make_touches(lines, line_path, rects, n_touch_cap):
     offs = (jnp.cumsum(counts) - counts).astype(jnp.float32)
 
     qx0l, qy0l, qx1l, qy1l = p["q"]
-    # Everything a touch needs from its line, in ONE row gather (scalar
-    # gathers cost ~7 ms each at 2^19 indices on TPU; this whole pack costs
-    # about one of them).
+    # Everything a touch needs from its line, in ONE narrow row gather:
+    # DDA parameters are recomputed per touch from the endpoints
+    # (bit-identical, see _dda_from_q) so only 12 fields ride the gather.
     lpack = jnp.concatenate([
-        jnp.stack([qx0l, qy0l, qx1l, qy1l, p["a"], p["b"], p["x0i"],
-                   p["y0i"], p["sy0"], p["sign_x"],
-                   jnp.where(p["is_down"], 1.0, -1.0), p["count"], offs,
-                   jnp.where(p["pos_slope"], 1.0, -1.0)], axis=-1),
+        jnp.stack([qx0l, qy0l, qx1l, qy1l, offs,
+                   jnp.where(p["is_down"], 1.0, -1.0)], axis=-1),
         rrow,
-    ], axis=-1)                                      # (L, 20)
+    ], axis=-1)                                      # (L, 12)
 
     lix, i, tvalid, total = expand_by_counts(counts, n_touch_cap)
     overflow = (total > n_touch_cap).astype(jnp.int32)
-    row = lpack[lix]                                 # (T, 20)
+    row = lpack[lix]                                 # (T, 12)
     qx0, qy0, qx1, qy1 = row[:, 0], row[:, 1], row[:, 2], row[:, 3]
-    a, b = row[:, 4], row[:, 5]
-    x0i_f, y0i_f, sy0 = row[:, 6], row[:, 7], row[:, 8]
-    sign_x = row[:, 9]
-    down = row[:, 10] > 0
-    count = row[:, 11]
-    pos = row[:, 13] > 0
-    tx0 = row[:, 14].astype(jnp.int32)
-    ty0 = row[:, 15].astype(jnp.int32)
-    tx1 = row[:, 16].astype(jnp.int32)
-    ty1 = row[:, 17].astype(jnp.int32)
-    stride = row[:, 18].astype(jnp.int32)
-    base = row[:, 19].astype(jnp.int32)
+    down = row[:, 5] > 0
+    tx0 = row[:, 6].astype(jnp.int32)
+    ty0 = row[:, 7].astype(jnp.int32)
+    tx1 = row[:, 8].astype(jnp.int32)
+    ty1 = row[:, 9].astype(jnp.int32)
+    stride = row[:, 10].astype(jnp.int32)
+    base = row[:, 11].astype(jnp.int32)
+    d = _dda_from_q(qx0, qy0, qx1, qy1)
+    a, b = d["a"], d["b"]
+    x0i_f, y0i_f, sy0 = d["x0i"], d["y0i"], d["sy0"]
+    sign_x = d["sign_x"]
+    count = d["count"]
+    pos = d["pos_slope"]
 
     fi = i.astype(jnp.float32)
     z = jnp.floor(a * fi + b)
