@@ -85,8 +85,12 @@ def expand_by_counts(counts, out_size):
 
 
 def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
-            width: float, height: float):
+            width: float, height: float, rpack=None):
     """decoded: output of pathtag.decode_and_transform.
+
+    rpack: optional (P, 6) f32 per-path tile-rect fields; when given they are
+    gathered at segment scale (S rows) and ride the line expansion, so the
+    tiling stage needs no per-line gather (returned as line_rect/edge_rect).
 
     Returns dict with:
       lines (L, 4) f32   — y-trimmed, x-clamped line soup (x0,y0,x1,y1)
@@ -103,12 +107,16 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     # One packed row-gather instead of several scalar gathers (a scalar
     # gather of n_lines_cap indices costs ~7 ms on TPU; a 12-wide row gather
     # costs about the same as one).
-    pack = jnp.concatenate([
+    parts = [
         cub.reshape(s, 8),
         counts.astype(jnp.float32)[:, None],
         offs[:, None],
         decoded["path_ix"].astype(jnp.float32)[:, None],
-    ], axis=-1)                                 # (S, 11)
+    ]
+    if rpack is not None:
+        pclip = jnp.clip(decoded["path_ix"], 0, rpack.shape[0] - 1)
+        parts.append(rpack[pclip])              # (S, 6) — S-scale gather
+    pack = jnp.concatenate(parts, axis=-1)      # (S, 11[+6])
     seg_ix, _, valid, total = expand_by_counts(counts, n_lines_cap)
     overflow_lines = (total > n_lines_cap).astype(jnp.int32)
 
@@ -179,8 +187,11 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     ev_y0 = jnp.where(need_start, y0, ye1)
     ev_y1 = jnp.where(need_start, ye0, y1)
     edge_counts = needs_edge.astype(jnp.int32)
-    epack = jnp.stack([ev_y0, ev_y1,
-                       row_path.astype(jnp.float32)], axis=-1)
+    eparts = [jnp.stack([ev_y0, ev_y1,
+                         row_path.astype(jnp.float32)], axis=-1)]
+    if rpack is not None:
+        eparts.append(row[:, 11:17])
+    epack = jnp.concatenate(eparts, axis=-1)
     eix, _, evalid, etotal = expand_by_counts(edge_counts, n_edge_cap)
     overflow_edges = (etotal > n_edge_cap).astype(jnp.int32)
     erow = epack[eix]
@@ -189,7 +200,7 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
         jnp.full_like(erow[:, 0], lo), erow[:, 1]], axis=-1)
     edge_lines = jnp.where(evalid[:, None], edge_lines, 0.0)
 
-    return {
+    out = {
         "lines": mid.astype(jnp.float32),
         "line_path": jnp.where(alive, row_path, 2 ** 30).astype(jnp.int32),
         "line_valid": alive,
@@ -199,3 +210,7 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
         "edge_valid": evalid,
         "overflow": overflow_lines + 2 * overflow_edges,
     }
+    if rpack is not None:
+        out["line_rect"] = row[:, 11:17]
+        out["edge_rect"] = erow[:, 3:9]
+    return out

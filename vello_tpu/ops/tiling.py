@@ -153,25 +153,33 @@ def _dda_params(lines):
     return p
 
 
-def make_touches(lines, line_path, rects, n_touch_cap):
+def rect_pack(rects):
+    """(P, 6) f32 rect-field matrix for gather-efficient expansion."""
+    return jnp.stack([rects["tx0"].astype(jnp.float32),
+                      rects["ty0"].astype(jnp.float32),
+                      rects["tx1"].astype(jnp.float32),
+                      rects["ty1"].astype(jnp.float32),
+                      rects["stride"].astype(jnp.float32),
+                      rects["base"].astype(jnp.float32)], axis=-1)
+
+
+def make_touches(lines, line_path, rects, n_touch_cap, line_rect=None):
     """Expand lines into (line, tile) touch records.
 
-    Returns per-touch: line index, tile (x, y), flat tile id, tile-local
-    clipped segment (p0, p1, y_edge), backdrop scatter (index, delta), and
-    validity.
+    line_rect: optional (L, 6) per-line rect fields carried through the
+    flatten expansion (saves an L-scale gather here).
+
+    Returns per-touch: tile-local clipped segment (p0, p1, y_edge), flat
+    tile id, backdrop delta, and validity.
     """
     p = _dda_params(lines)
     path = line_path
     valid_line = path < 2 ** 30
-    pclip = jnp.clip(path, 0, len(rects["tx0"]) - 1)
-    # Per-line rect fields: one packed row gather.
-    rpack = jnp.stack([rects["tx0"].astype(jnp.float32),
-                       rects["ty0"].astype(jnp.float32),
-                       rects["tx1"].astype(jnp.float32),
-                       rects["ty1"].astype(jnp.float32),
-                       rects["stride"].astype(jnp.float32),
-                       rects["base"].astype(jnp.float32)], axis=-1)
-    rrow = rpack[pclip]                              # (L, 6)
+    if line_rect is not None:
+        rrow = line_rect                             # (L, 6) precomputed
+    else:
+        pclip = jnp.clip(path, 0, len(rects["tx0"]) - 1)
+        rrow = rect_pack(rects)[pclip]               # (L, 6)
     # Drop verticals exactly on the path's right tile boundary (their winding
     # falls outside the bbox — see path_count.wgsl xmin >= bbox.z).
     sx_min = jnp.minimum(lines[:, 0], lines[:, 2]) / TILE_W

@@ -65,16 +65,19 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     decoded = pathtag.decode_and_transform(
         bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"])
 
-    n_edge = max(caps.n_lines // 4, 256)
-    fl = flatten_ops.flatten(decoded, caps.n_lines, n_edge, W, H)
-    lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
-    lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
-
     rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
                       ).astype(jnp.int32)
 
-    touches = tiling.make_touches(lines, lpath, rects, caps.n_touches)
+    n_edge = max(caps.n_lines // 4, 256)
+    fl = flatten_ops.flatten(decoded, caps.n_lines, n_edge, W, H,
+                             rpack=tiling.rect_pack(rects))
+    lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
+    lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
+    lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
+
+    touches = tiling.make_touches(lines, lpath, rects, caps.n_touches,
+                                  line_rect=lrect)
 
     # --- sort touches by flat tile (the "coarse" sort) ---
     # Payloads ride the sort network directly: carrying 6 f32 operands
