@@ -47,9 +47,14 @@ def _pad(a: np.ndarray, n: int, fill=0):
 def pack_buffers(rs: ResolvedScene, caps: Capacities,
                  params: RenderParams) -> dict:
     """Pad resolved-scene arrays to the tier's static shapes."""
+    data = _pad(rs.data, caps.n_points)
+    # Shifted windows: data4[i, k] == data[i + k] — lets the device decode a
+    # segment's up-to-4 control points with one row gather.
+    data4 = np.stack([np.roll(data, -k, axis=0) for k in range(4)], axis=1)
     return {
         "tags": _pad(rs.tags.astype(np.int32), caps.n_tags),
-        "data": _pad(rs.data, caps.n_points),
+        "data": data,
+        "data4": data4.astype(np.float32),
         "transforms": _pad(rs.transforms, caps.n_transforms),
         "styles": _pad(rs.styles, caps.n_styles),
         "paint_kind": _pad(rs.paint_kind, caps.n_paths),

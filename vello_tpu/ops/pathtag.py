@@ -40,24 +40,32 @@ def pathtag_scan(tags: jnp.ndarray):
     }
 
 
-def decode_and_transform(tags, data, transforms, styles):
+def decode_and_transform(tags, data, transforms, styles, data4=None):
     """Decode segments at every tag slot (kind==0 slots are inert) and apply
     the per-segment affine transform. Returns per-slot arrays.
 
     data: (Pt, 2) f32; transforms: (Nt, 6); styles: (Ns,) i32.
+    data4: optional (Pt, 4, 2) shifted windows (data4[i,k] == data[i+k]) —
+    one row gather decodes all four control points.
     """
     scan = pathtag_scan(tags)
     kind = scan["kind"]
     off = scan["pt_off"]
     npt = len(data)
-    # Gather up to 4 points per slot.
-    pts = []
-    for i in range(4):
-        idx = jnp.clip(off + i, 0, max(npt - 1, 0))
-        valid = (i <= kind) & (scan["is_seg"] == 1)
-        p = jnp.where(valid[:, None], data[idx], 0.0)
-        pts.append(p)
-    pts = jnp.stack(pts, axis=1)              # (T, 4, 2)
+    if data4 is not None:
+        idx = jnp.clip(off, 0, max(npt - 1, 0))
+        pts = data4[idx]                      # (T, 4, 2)
+        k_ar = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+        valid = (k_ar <= kind[:, None]) & (scan["is_seg"][:, None] == 1)
+        pts = jnp.where(valid[:, :, None], pts, 0.0)
+    else:
+        pts = []
+        for i in range(4):
+            idx = jnp.clip(off + i, 0, max(npt - 1, 0))
+            valid = (i <= kind) & (scan["is_seg"] == 1)
+            p = jnp.where(valid[:, None], data[idx], 0.0)
+            pts.append(p)
+        pts = jnp.stack(pts, axis=1)          # (T, 4, 2)
     t = transforms[jnp.clip(scan["trans_ix"], 0, max(len(transforms) - 1, 0))]
     x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] \
         + t[:, None, 4]

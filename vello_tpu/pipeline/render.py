@@ -63,7 +63,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     W = float(WT_alloc * TILE_W)
 
     decoded = pathtag.decode_and_transform(
-        bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"])
+        bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
+        data4=bufs.get("data4"))
 
     rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
