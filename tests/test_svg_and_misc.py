@@ -1,0 +1,83 @@
+"""Unit tests for the SVG loader, Scene.append, and misc API surface."""
+
+import numpy as np
+import pytest
+
+from vello_tpu import Affine, Fill, RenderParams, Scene
+from vello_tpu.kurbo import circle_path, rect_path
+from vello_tpu.oracle import OracleRenderer
+from vello_tpu.peniko import palette
+from vello_tpu.utils.svg import load_svg, parse_path_data
+
+
+def test_parse_path_basic():
+    p = parse_path_data("M 10 10 L 50 10 L 50 50 Z")
+    lines_count = sum(1 for v, _ in p.elements() if v == 1)
+    assert lines_count == 2
+    assert p.verbs[-1] == 4  # close
+
+
+def test_parse_path_relative_and_curves():
+    p = parse_path_data("m10,10 l40,0 c10,10 20,10 30,0 q5,-5 10,0 "
+                        "h10 v10 s5,5 10,0 t10,0 z")
+    kinds = [v for v, _ in p.elements()]
+    assert 3 in kinds and 2 in kinds  # cubic + quad present
+    assert kinds[-1] == 4
+
+
+def test_parse_path_arc():
+    p = parse_path_data("M 0 50 A 50 50 0 0 1 100 50")
+    # arc approximated by cubics
+    assert any(v == 3 for v, _ in p.elements())
+    pts = np.asarray(p.points)
+    # arc apex should reach y ~= 0 for this sweep
+    assert pts[:, 1].min() < 5.0
+
+
+def test_svg_document_renders():
+    svg = """<svg xmlns="http://www.w3.org/2000/svg">
+      <g transform="translate(8,8) scale(0.8)">
+        <rect x="0" y="0" width="60" height="60" fill="#204080"/>
+        <circle cx="30" cy="30" r="20" fill="rgb(255,200,0)"
+                stroke="#ffffff" stroke-width="3"/>
+        <path d="M10 50 Q30 10 50 50 Z" fill="#c03030" fill-opacity="0.8"/>
+        <polygon points="5,5 20,5 12,18" fill="green"/>
+      </g></svg>"""
+    scene = load_svg(svg)
+    img = OracleRenderer().render(scene, RenderParams(64, 64))
+    assert img[30, 30, 0] > 0.5   # yellow circle center (red channel high)
+    assert img[50, 12, 2] > 0.3   # blue rect lower-left region
+
+
+def test_scene_append_with_transform():
+    sub = Scene()
+    sub.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+             rect_path(0, 0, 10, 10))
+    main = Scene()
+    main.fill(Fill.NON_ZERO, Affine.identity(), palette.BLUE, None,
+              rect_path(0, 0, 64, 64))
+    main.append(sub, Affine.translate(20, 30))
+    img = OracleRenderer().render(main, RenderParams(64, 64))
+    assert img[35, 25, 0] > 0.9   # translated red square
+    assert img[5, 5, 2] > 0.9     # blue background
+
+
+def test_scene_reset():
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           circle_path(32, 32, 10))
+    s.reset()
+    assert s.encoding.is_empty()
+    img = OracleRenderer().render(s, RenderParams(16, 16))
+    assert np.allclose(img[..., :3], 0.0)
+
+
+def test_debug_capture_and_validation():
+    from vello_tpu.utils.debug import capture_stages, validate_line_soup
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           circle_path(32, 32, 20))
+    cap = capture_stages(s, RenderParams(64, 64))
+    assert cap["n_lines"] > 4
+    problems = validate_line_soup(cap["lines"], cap["line_path"])
+    assert problems == [], problems  # closed fill must be watertight
