@@ -178,15 +178,25 @@ def _estimate(decoded, transforms, params: RenderParams):
     counts = np.clip(counts, 1, MAX_LINES_PER_SEG).astype(np.int64)
     counts = np.where(kind == 1, 1, counts)
     est_lines = int(counts.sum())
-    # Touch bound: per line ≤ 2 + (|dx|+|dy|)/T; summed via control-polygon
-    # length (an upper bound on arc length).
+    # Exact touch counts: actually flatten (same uniform-t math as the
+    # device) and evaluate the span arithmetic per line. This keeps the
+    # touch tier tight — a loose bound inflates every touch-proportional
+    # device stage by the padding ratio.
+    from .host_flatten import flatten_decoded
+    lines, _ = flatten_decoded(decoded)
+    lx0, ly0 = lines[:, 0].astype(np.float64), lines[:, 1].astype(np.float64)
+    lx1, ly1 = lines[:, 2].astype(np.float64), lines[:, 3].astype(np.float64)
+    sx0, sx1 = lx0 / TILE_W, lx1 / TILE_W
+    sy0, sy1 = ly0 / TILE_H, ly1 / TILE_H
+
+    def span(a, b):
+        return np.maximum(np.ceil(np.maximum(a, b))
+                          - np.floor(np.minimum(a, b)), 1.0)
+
+    per_line = span(sx0, sx1) - 1.0 + span(sy0, sy1)
+    # viewport clipping can only shrink spans; edge verticals add ≤ span_y
+    est_touches = int(per_line.sum() + len(lines) // 8) + 64
     npts = kind + 1
-    seg_len = np.zeros(n)
-    for i in range(3):
-        valid = npts > i + 1
-        d = tp[:, i + 1] - tp[:, i]
-        seg_len += np.where(valid, np.abs(d[:, 0]) + np.abs(d[:, 1]), 0.0)
-    est_touches = int((2 * counts).sum() + (seg_len / TILE_W).sum()) + 16
     # Path-tile bound: per-path clamped bbox area in tiles.
     path_ix = decoded["path_ix"]
     n_paths = decoded["n_paths"]
