@@ -76,3 +76,39 @@ def test_probe():
         regenerate_probe_reference()
     assert run_probe(Renderer())
     assert run_probe(OracleRenderer())
+
+
+@pytest.mark.parametrize("seed", [11, 18, 24, 25, 28])
+def test_fuzz_offscreen_torture(seed):
+    """Regression fuzz (found the endpoint-exactness bug): random scenes
+    with geometry crossing all viewport edges; device and oracle must agree
+    except on a handful of isolated boundary pixels."""
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    for i in range(5):
+        path = BezPath()
+        path.move_to(*rng.uniform(-10, 74, 2))
+        for _ in range(6):
+            k = rng.integers(0, 4)
+            if k == 0:
+                path.line_to(*rng.uniform(-10, 74, 2))
+            elif k == 1:
+                path.quad_to(*rng.uniform(-10, 74, 4))
+            elif k == 2:
+                path.curve_to(*rng.uniform(-10, 74, 6))
+            else:
+                path.close()
+        c = COLORS[i % 6].with_alpha(float(rng.uniform(0.3, 1.0)))
+        rule = Fill.NON_ZERO if rng.random() < 0.5 else Fill.EVEN_ODD
+        if rng.random() < 0.25:
+            s.stroke(Stroke(width=float(rng.uniform(0.5, 8))),
+                     Affine.identity(), c, None, path)
+        else:
+            s.fill(rule, Affine.rotate_about(float(rng.uniform(-1, 1)),
+                                             32, 32), c, None, path)
+    params = RenderParams(64, 64, base_color=(0, 0, 0, 1))
+    a = OracleRenderer().render(s, params)
+    b = Renderer().render(s, params)
+    d = np.abs(a.astype(np.float64) - b)
+    assert d.mean() < 5e-4, d.mean()
+    assert (d.max(axis=-1) > 0.05).sum() < 20

@@ -148,8 +148,14 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     # fully inside the y range or are collapsed by the clip equality check.
     ta = jnp.where(nzy, (y0c - y0) * inv_dy, 0.0)
     tb = jnp.where(nzy, (y1c - y0) * inv_dy, 1.0)
-    x0 = p0[:, 0] + ta * (p1[:, 0] - p0[:, 0])
-    x1 = p0[:, 0] + tb * (p1[:, 0] - p0[:, 0])
+    # Only REPLACE endpoints that were actually trimmed: recomputing an
+    # untrimmed endpoint parametrically costs ~1 ulp (tb = 0.99999994...)
+    # and endpoint exactness matters — the top-edge crossing rule compares
+    # floor(y/T) == y/T on trimmed-to-boundary endpoints.
+    x0 = jnp.where(y0c != y0, p0[:, 0] + ta * (p1[:, 0] - p0[:, 0]),
+                   p0[:, 0])
+    x1 = jnp.where(y1c != y1, p0[:, 0] + tb * (p1[:, 0] - p0[:, 0]),
+                   p1[:, 0])
     y0, y1 = y0c, y1c
     # degenerate after trim -> collapses (zero tiles later)
     alive = valid & (jnp.abs(y1 - y0) + jnp.abs(x1 - x0) > 1e-12)
@@ -174,8 +180,10 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     left_all = jnp.maximum(x0, x1) <= lo
     right_all = jnp.minimum(x0, x1) >= hi
     outside = left_all | right_all
-    mid = jnp.stack([x0c, jnp.where(outside, y0, ye0),
-                     x1c, jnp.where(outside, y1, ye1)], axis=-1)
+    # Same exactness rule: keep unclamped endpoints bit-identical.
+    my0 = jnp.where(outside | (x0c == x0), y0, ye0)
+    my1 = jnp.where(outside | (x1c == x1), y1, ye1)
+    mid = jnp.stack([x0c, my0, x1c, my1], axis=-1)
     mid = jnp.where(alive[:, None], mid, 0.0)
 
     # Left-edge vertical for lines CROSSING x=lo: the outside portion maps to
