@@ -112,3 +112,44 @@ def test_fuzz_offscreen_torture(seed):
     d = np.abs(a.astype(np.float64) - b)
     assert d.mean() < 5e-4, d.mean()
     assert (d.max(axis=-1) > 0.05).sum() < 20
+
+
+@pytest.mark.parametrize("seed", [1001, 1013, 1014])
+def test_fuzz_layer_trees(seed):
+    """Random nested layer trees (mix x compose x alpha x clip shapes)."""
+    from vello_tpu.kurbo import circle_path, star_path
+    from vello_tpu.peniko import BlendMode, Compose, Mix
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    depth = 0
+    for step in range(8):
+        roll = rng.random()
+        if roll < 0.3 and depth < 3:
+            shape = circle_path(*rng.uniform(8, 56, 2),
+                                rng.uniform(8, 30)) \
+                if rng.random() < 0.5 else \
+                star_path(*rng.uniform(10, 54, 2), int(rng.integers(3, 7)),
+                          rng.uniform(4, 10), rng.uniform(12, 28))
+            mix = Mix(int(rng.integers(0, 16)))
+            comp = Compose([3, 5, 6, 9, 11, 12][int(rng.integers(0, 6))])
+            s.push_layer(BlendMode(mix, comp),
+                         float(rng.uniform(0.4, 1.0)),
+                         Affine.identity(), shape)
+            depth += 1
+        elif roll < 0.45 and depth > 0:
+            s.pop_layer()
+            depth -= 1
+        else:
+            p = random_path(rng, n_verbs=4)
+            c = COLORS[int(rng.integers(0, 6))].with_alpha(
+                float(rng.uniform(0.4, 1.0)))
+            s.fill(Fill.NON_ZERO, Affine.identity(), c, None, p)
+    while depth > 0:
+        s.pop_layer()
+        depth -= 1
+    params = RenderParams(64, 64, base_color=(0.1, 0.1, 0.1, 1))
+    a = OracleRenderer().render(s, params)
+    b = Renderer().render(s, params)
+    d = np.abs(a.astype(np.float64) - b)
+    assert d.mean() < 1e-4, d.mean()
+    assert (d.max(axis=-1) > 0.05).sum() <= 3
