@@ -49,12 +49,15 @@ def accumulate_winding(lines: np.ndarray, width: int, height: int,
     """Exact-area winding grid from line segments (float64, (H, W))."""
     if len(lines) == 0:
         return np.zeros((height, width))
-    # Accumulate into a guard margin on the right so clamping compression
-    # lands outside the visible area (left-clamp compression at x=0 is the
-    # exact winding-preserving transform; right side is only exact beyond W).
+    # Accumulate into guard margins on BOTH sides so clamping compression
+    # lands outside the visible area (the clamp preserves winding beyond the
+    # boundary exactly, but deforms coverage inside the boundary column).
     out_width = width
-    width = width + 17
+    LM = 4
+    width = width + LM + 17
     x0, y0, x1, y1 = (lines[:, i].astype(np.float64) for i in range(4))
+    x0 = x0 + LM
+    x1 = x1 + LM
     # Clamp y to the viewport; x handled by clamping into [0, W] so winding
     # from off-left geometry still lands in column 0.
     y0c = np.clip(y0, 0.0, float(height))
@@ -139,7 +142,7 @@ def accumulate_winding(lines: np.ndarray, width: int, height: int,
     acc = np.zeros((height, width + 1))
     np.add.at(acc, (py, px), dh * (1.0 - right_frac))
     np.add.at(acc, (py, np.minimum(px + 1, width)), dh * right_frac)
-    winding = np.cumsum(acc, axis=1)[:, :out_width]
+    winding = np.cumsum(acc, axis=1)[:, LM:LM + out_width]
     return winding
 
 
