@@ -183,7 +183,7 @@ def _estimate(decoded, transforms, params: RenderParams):
     # touch tier tight — a loose bound inflates every touch-proportional
     # device stage by the padding ratio.
     from .host_flatten import flatten_decoded
-    lines, _ = flatten_decoded(decoded)
+    lines, line_path_map = flatten_decoded(decoded)
     lx0, ly0 = lines[:, 0].astype(np.float64), lines[:, 1].astype(np.float64)
     lx1, ly1 = lines[:, 2].astype(np.float64), lines[:, 3].astype(np.float64)
     sx0, sx1 = lx0 / TILE_W, lx1 / TILE_W
@@ -197,7 +197,10 @@ def _estimate(decoded, transforms, params: RenderParams):
     # viewport clipping can only shrink spans; edge verticals add ≤ span_y
     est_touches = int(per_line.sum() + len(lines) // 8) + 64
     npts = kind + 1
-    # Path-tile bound: per-path clamped bbox area in tiles.
+    # Path-tile rects: per-path clamped bbox of the FLATTENED lines (exact,
+    # tighter than the control hull for curves), padded by 0.5 px to cover
+    # the device's f32 flatten against this f64 computation.
+    lp = line_path_map
     path_ix = decoded["path_ix"]
     n_paths = decoded["n_paths"]
     big = 1e30
@@ -205,16 +208,12 @@ def _estimate(decoded, transforms, params: RenderParams):
     miny = np.full(n_paths + 1, big)
     maxx = np.full(n_paths + 1, -big)
     maxy = np.full(n_paths + 1, -big)
-    for i in range(4):
-        valid = npts > i
-        vx = np.where(valid, tp[:, i, 0], big)
-        vy = np.where(valid, tp[:, i, 1], big)
-        np.minimum.at(minx, path_ix, vx)
-        np.minimum.at(miny, path_ix, vy)
-        vx = np.where(valid, tp[:, i, 0], -big)
-        vy = np.where(valid, tp[:, i, 1], -big)
-        np.maximum.at(maxx, path_ix, vx)
-        np.maximum.at(maxy, path_ix, vy)
+    pad = 0.5
+    for xs, ys in ((lx0, ly0), (lx1, ly1)):
+        np.minimum.at(minx, lp, xs - pad)
+        np.minimum.at(miny, lp, ys - pad)
+        np.maximum.at(maxx, lp, xs + pad)
+        np.maximum.at(maxy, lp, ys + pad)
     wt1 = params.width_tiles + 1  # pipeline allocates one guard column
     tx0 = np.clip(np.floor(minx[:n_paths] / TILE_W), 0, wt1)
     ty0 = np.clip(np.floor(miny[:n_paths] / TILE_H), 0, params.height_tiles)
