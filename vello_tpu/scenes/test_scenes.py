@@ -407,3 +407,25 @@ def luminance_masks(size: float = 256.0) -> Scene:
 
 
 LAYER_SCENES["luminance_masks"] = luminance_masks
+
+
+def longpathdash(size: float = 256.0, cap: str = "butt") -> Scene:
+    """One long multi-segment path with a dense dash pattern (reference:
+    longpathdash — stresses the dasher and stroke expansion)."""
+    s = Scene()
+    k = size / 256.0
+    p = BezPath()
+    p.move_to(16 * k, 48 * k)
+    import math as m
+    for i in range(1, 80):
+        x = (16 + i * 2.8) * k
+        y = (48 + 40 * m.sin(i * 0.4) + i * 1.8) * k
+        p.line_to(x, y)
+    s.stroke(Stroke(width=2.5 * k).with_dashes(0.0, [3 * k, 2.5 * k])
+             .with_caps(cap), Affine.identity(), palette.YELLOW, None, p)
+    return s
+
+
+DEVICE_SCENES["longpathdash"] = longpathdash
+DEVICE_SCENES["many_draw_objects"] = lambda size=256.0: many_draw_objects(
+    size, n=256)
