@@ -6,14 +6,13 @@ The reference is single-device; its scaling axes are intra-frame (SURVEY.md
 
 * ``dp`` — independent frames (batch rendering / serving): embarrassingly
   parallel, perfect ICI-free scaling.
-* ``sp`` — framebuffer stripes within one frame (the sequence-parallel
-  analog): every chip runs the (cheap, fully replicated) geometry stages and
-  composites only its own horizontal stripe of tile rows; stripes stay
-  sharded on-device (output sharding does the stitching). Overflow flags are
-  combined with a psum over the stripe axis.
-
-Round-2 roadmap: shard the touch/fragment axes too (sorted partition +
-ppermute exchange) so geometry work also scales with sp.
+* ``sp`` — intra-frame parallelism (the sequence-parallel analog), on TWO
+  axes at once: the geometry stages (flatten, tiling, coverage) are sharded
+  by SEGMENT slices — each chip processes 1/n of the path segments and the
+  additive partial per-fragment coverage + backdrop sums are combined with
+  ONE psum (67 MB all-reduce rides ICI); the fine/composite stages are
+  sharded by framebuffer STRIPES of tile rows, which stay sharded on-device
+  (output sharding does the stitching). Overflow flags are psum'd.
 """
 
 from __future__ import annotations
@@ -39,10 +38,16 @@ def make_mesh(n_dp: int, n_sp: int, devices=None) -> Mesh:
 
 
 def _stripe_frame(bufs, static: PipelineStatic, n_sp: int):
-    """Render this device's stripe; runs under shard_map with axis 'sp'."""
+    """Render this device's stripe; runs under shard_map with axis 'sp'.
+
+    Geometry (flatten/tiling/coverage) is sharded over 'sp' by segment
+    slices and combined with a psum of the additive partial coverage;
+    fine/composite is sharded by framebuffer stripes — both the geometry
+    and pixel work scale with the axis."""
     ht_local = static.height_tiles // n_sp
     stripe = jax.lax.axis_index("sp") * ht_local
-    img, overflow = render_frame(bufs, static, stripe=(stripe, ht_local))
+    img, overflow = render_frame(bufs, static, stripe=(stripe, ht_local),
+                                 geom_axis="sp", geom_shards=n_sp)
     overflow = jax.lax.psum(overflow, axis_name="sp")
     return img, overflow
 

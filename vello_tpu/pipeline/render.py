@@ -46,13 +46,20 @@ class PipelineStatic:
 
 
 def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
-                      keep_clip_paths: bool = False, want_src: bool = True):
+                      keep_clip_paths: bool = False, want_src: bool = True,
+                      geom_axis=None, geom_shards: int = 1):
     """Run geometry + fine stages; return sorted per-fragment data.
 
     Fragments = (path, touched-tile) pairs (the reference's Tile records),
     sorted by (local gtile, draw order). keep_clip_paths keeps clip-shape
     fragments' coverage (the layered compositor needs it); their paint alpha
     is zeroed so they never draw directly.
+
+    geom_axis: when running under shard_map, the mesh axis name to shard the
+    GEOMETRY stages over: each member flattens/tiles only its slice of the
+    segment stream, and the partial per-fragment coverage + backdrop sums
+    (which are additive) are combined with one psum — the geometry work
+    scales with the axis instead of being replicated.
     """
     caps = Capacities(*static.caps_key)
     H = float(static.height)
@@ -65,6 +72,14 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     decoded = pathtag.decode_and_transform(
         bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
         data4=bufs.get("data4"))
+
+    if geom_axis is not None:
+        # Slice the per-tag-slot arrays to this member's segment shard (the
+        # tag scan itself is global and cheap; padding tags are inert).
+        k = jax.lax.axis_index(geom_axis)
+        chunk = caps.n_tags // geom_shards
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * chunk, chunk, 0)
+        decoded = {key: sl(v) for key, v in decoded.items()}
 
     rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
@@ -105,6 +120,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         cov = fine_xla.coverage_delta(seg_s, yedge_s)    # (T, 256)
         frag_cov = segment_sum_from_starts(cov, starts)
     bd_sum = segment_sum_from_starts(bdval_s, starts)
+    if geom_axis is not None:
+        # Coverage and backdrop deltas are additive across segment shards:
+        # one all-reduce combines the partial geometry of all members.
+        frag_cov = jax.lax.psum(frag_cov, axis_name=geom_axis)
+        bd_sum = jax.lax.psum(bd_sum, axis_name=geom_axis)
     bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
     # --- per flat tile metadata ---
@@ -194,7 +214,8 @@ def _tiles_to_image(tiles, static, ht_local, crop_h: bool):
     return img
 
 
-def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
+def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
+                 geom_axis=None, geom_shards: int = 1):
     """Fast path: src-over-only scene (no layers).
 
     Returns (image (H, W, 4) premultiplied f32, overflow flags i32).
@@ -202,7 +223,8 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None):
     from ..ops.pallas_kernels import fine_composite_solid, use_pallas
     base = bufs["base_color"]
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
-    fr = prepare_fragments(bufs, static, stripe)
+    fr = prepare_fragments(bufs, static, stripe, geom_axis=geom_axis,
+                           geom_shards=geom_shards)
     if use_pallas() and stripe is None:
         # Fused Pallas fine: per-tile sequential src-over in VMEM replaces
         # the XLA suffix-sum/exp/segmented-sum composite passes.
