@@ -231,3 +231,30 @@ def test_luminance_mask_layer():
     img = check(s)
     assert img[32, 6, 0] < 0.1     # black mask end: magenta masked away
     assert img[32, 58, 0] > 0.9    # white mask end: magenta kept
+
+
+def test_filter_layers():
+    """Gaussian blur / drop shadow / offset / flood layer filters
+    (sparse-strips filter suite)."""
+    from vello_tpu.peniko import Color
+    for build in (
+        lambda s: s.push_blur_layer(3.0),
+        lambda s: s.push_drop_shadow_layer(4, 4, 2.0, Color(0, 0, 0, 0.8)),
+        lambda s: s.push_offset_layer(6, -4),
+        lambda s: s.push_flood_layer(Color(1, 0, 1, 0.5),
+                                     clip_path=circle_path(32, 32, 20)),
+    ):
+        s = Scene()
+        build(s)
+        s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+               circle_path(28, 28, 14))
+        s.pop_layer()
+        check(s, RenderParams(64, 64, base_color=(0.1, 0.1, 0.1, 1)))
+    # blur visibly spreads energy beyond the shape
+    s = Scene()
+    s.push_blur_layer(4.0)
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
+           rect_path(24, 24, 40, 40))
+    s.pop_layer()
+    img = Renderer().render(s, RenderParams(64, 64))
+    assert 0.01 < img[32, 16, 0] < 0.6  # haze outside the rect

@@ -65,6 +65,8 @@ class DrawRecord:
     blur_rect: Optional[Tuple[float, float, float, float]] = None
     blur_radius: float = 0.0
     blur_std_dev: float = 0.0
+    # layer filter: (kind, sigma, dx, dy, r, g, b, a) — see ops/filters.py
+    layer_filter: Optional[Tuple] = None
 
 
 class Encoding:

@@ -40,6 +40,7 @@ class LayerInfo:
     alpha: float
     clip_path_ix: int  # -1 if no clip shape
     fill_rule: int
+    layer_filter: tuple = None  # (kind, sigma, dx, dy, r, g, b, a)
 
 
 @dataclass
@@ -321,7 +322,8 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
                 path_cursor += 1
             blend = rec.blend or BlendMode()
             layers.append(LayerInfo(d, int(blend.mix), int(blend.compose),
-                                    rec.alpha, clip_ix, rec.fill_rule))
+                                    rec.alpha, clip_ix, rec.fill_rule,
+                                    rec.layer_filter))
             continue
         # geometric draw
         p = path_cursor

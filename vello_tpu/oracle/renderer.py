@@ -240,7 +240,7 @@ class OracleRenderer:
                               bc[3]])
         # Layer stack: (buffer, clip_coverage, mix, compose, alpha)
         stack: List[tuple] = [(base, None, int(Mix.NORMAL),
-                               int(Compose.SRC_OVER), 1.0)]
+                               int(Compose.SRC_OVER), 1.0, None)]
         layer_iter = iter(rs.layers)
         li = 0
         for d in range(len(rs.draw_kind)):
@@ -254,12 +254,17 @@ class OracleRenderer:
                     wgrid = accumulate_winding(lines[sel], W, H)
                     clip = apply_fill_rule(wgrid, info.fill_rule)
                 buf = np.zeros((H, W, 4))
-                stack.append((buf, clip, info.mix, info.compose, info.alpha))
+                stack.append((buf, clip, info.mix, info.compose, info.alpha,
+                              info.layer_filter))
             elif k == DRAW_END_LAYER:
                 li += 1
                 if len(stack) <= 1:
                     continue
-                buf, clip, mix, compose, alpha = stack.pop()
+                buf, clip, mix, compose, alpha, lfilter = stack.pop()
+                if lfilter is not None:
+                    from ..ops.filters import apply_filter
+                    buf = apply_filter(np, buf, int(lfilter[0]),
+                                       lfilter[1:])
                 parent = stack[-1][0]
                 c = clip[..., None] if clip is not None else \
                     np.ones((H, W, 1))

@@ -47,7 +47,7 @@ class LayerPlanStatic:
     """Static shape of the layer plan: op kinds + per-pop (mix, compose) +
     per-push has_clip, + max stack depth."""
 
-    ops: Tuple[Tuple[int, int, int], ...]  # (kind, mix, compose) per op
+    ops: Tuple[Tuple, ...]  # (kind, mix, compose, filter_tuple) per op
     max_depth: int
 
 
@@ -72,7 +72,7 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
     stack = []
     def flush_draws():
         nonlocal run_lo
-        ops.append((OP_DRAWS, 0, 0))
+        ops.append((OP_DRAWS, 0, 0, None))
         ranges.append((run_lo, path_cursor))
         run_lo = path_cursor
 
@@ -85,17 +85,18 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
             if info.clip_path_ix >= 0:
                 path_cursor += 1  # the clip path consumes a path slot
             run_lo = path_cursor
-            ops.append((OP_PUSH, 0, 0))
+            ops.append((OP_PUSH, 0, 0, None))
             clip_ixs.append(info.clip_path_ix)
             alphas.append(info.alpha)
-            stack.append((info.mix, info.compose))
+            stack.append((info.mix, info.compose, info.layer_filter))
             depth += 1
             max_depth = max(max_depth, depth)
         elif k == DRAW_END_LAYER:
             li += 1
             flush_draws()
-            mix, compose = stack.pop() if stack else (0, 3)
-            ops.append((OP_POP, mix, compose))
+            mix, compose, lfilter = stack.pop() if stack else (0, 3, None)
+            ops.append((OP_POP, mix, compose,
+                        tuple(lfilter) if lfilter else None))
             depth = max(depth - 1, 0)
         else:
             if int(rs.draw_path_ix[d]) >= 0:
@@ -103,7 +104,7 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
     flush_draws()
     # unbalanced pushes: drop their content (reference drops open layers)
     while stack:
-        ops.append((OP_POP, -1, -1))  # -1 = discard
+        ops.append((OP_POP, -1, -1, None))  # -1 = discard
         stack.pop()
     static = LayerPlanStatic(ops=tuple(ops), max_depth=max(max_depth, 1))
     dynamic = {
@@ -127,7 +128,7 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
     clips = []  # per-push clip coverage or None
     d_i = 0  # draws op index
     p_i = 0  # push op index
-    for kind, mix, compose in plan.ops:
+    for kind, mix, compose, lfilter in plan.ops:
         if kind == OP_DRAWS:
             lo = plan_dyn["ranges"][d_i, 0]
             hi = plan_dyn["ranges"][d_i, 1]
@@ -157,6 +158,18 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
                 if clips:
                     clips.pop()
                 continue
+            if lfilter is not None:
+                # whole-frame filter on the layer buffer (tiles -> image ->
+                # filter -> tiles; filters are cross-tile operations)
+                from ..ops.filters import apply_filter
+                WT = static.width_tiles
+                ht = fr["ht_local"]
+                im = top.reshape(ht, WT, 4, TILE_H, TILE_W)
+                im = im.transpose(0, 3, 1, 4, 2).reshape(
+                    ht * TILE_H, WT * TILE_W, 4)
+                im = apply_filter(jnp, im, int(lfilter[0]), lfilter[1:])
+                top = im.reshape(ht, TILE_H, WT, TILE_W, 4).transpose(
+                    0, 2, 4, 1, 3).reshape(n_loc, 4, npx)
             ccov, alpha = clips.pop()
             parent = stack[-1]
             c = ccov[:, None, :]

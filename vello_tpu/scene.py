@@ -72,7 +72,8 @@ class Scene:
     # ------------------------------------------------------------------
     def push_layer(self, blend: Union[BlendMode, Mix], alpha: float,
                    transform: Affine, clip_path: Optional[BezPath],
-                   fill_rule: Fill = Fill.NON_ZERO) -> None:
+                   fill_rule: Fill = Fill.NON_ZERO,
+                   layer_filter: Optional[tuple] = None) -> None:
         if isinstance(blend, Mix):
             blend = BlendMode(blend, Compose.SRC_OVER)
         self.encoding.encode_transform(transform)
@@ -86,9 +87,50 @@ class Scene:
                 rect_path(0.0, 0.0, 0.0, 0.0), is_fill=True)
         self.encoding.encode_draw(DrawRecord(
             kind=DRAW_BEGIN_LAYER, blend=blend, alpha=float(alpha),
-            has_path=bool(has_path), fill_rule=int(fill_rule)))
+            has_path=bool(has_path), fill_rule=int(fill_rule),
+            layer_filter=layer_filter))
         self.encoding.n_open_layers += 1
         self._layer_depth += 1
+
+    def push_blur_layer(self, std_dev: float, alpha: float = 1.0,
+                        transform: Affine = None,
+                        clip_path: Optional[BezPath] = None) -> None:
+        """Layer whose content is gaussian-blurred at pop (the sparse-strips
+        gaussian_blur filter, vello_cpu/src/filter/gaussian_blur.rs)."""
+        from .ops.filters import FILTER_BLUR
+        self.push_layer(BlendMode(), alpha, transform or Affine.IDENTITY,
+                        clip_path,
+                        layer_filter=(FILTER_BLUR, float(std_dev), 0, 0,
+                                      0.0, 0.0, 0.0, 0.0))
+
+    def push_drop_shadow_layer(self, dx: float, dy: float, std_dev: float,
+                               color: Color, alpha: float = 1.0,
+                               transform: Affine = None,
+                               clip_path: Optional[BezPath] = None) -> None:
+        from .ops.filters import FILTER_DROP_SHADOW
+        self.push_layer(BlendMode(), alpha, transform or Affine.IDENTITY,
+                        clip_path,
+                        layer_filter=(FILTER_DROP_SHADOW, float(std_dev),
+                                      int(dx), int(dy), color.r, color.g,
+                                      color.b, color.a))
+
+    def push_offset_layer(self, dx: float, dy: float, alpha: float = 1.0,
+                          transform: Affine = None,
+                          clip_path: Optional[BezPath] = None) -> None:
+        from .ops.filters import FILTER_OFFSET
+        self.push_layer(BlendMode(), alpha, transform or Affine.IDENTITY,
+                        clip_path,
+                        layer_filter=(FILTER_OFFSET, 0.0, int(dx), int(dy),
+                                      0.0, 0.0, 0.0, 0.0))
+
+    def push_flood_layer(self, color: Color, alpha: float = 1.0,
+                         transform: Affine = None,
+                         clip_path: Optional[BezPath] = None) -> None:
+        from .ops.filters import FILTER_FLOOD
+        self.push_layer(BlendMode(), alpha, transform or Affine.IDENTITY,
+                        clip_path,
+                        layer_filter=(FILTER_FLOOD, 0.0, 0, 0, color.r,
+                                      color.g, color.b, color.a))
 
     def push_luminance_mask_layer(self, alpha: float, transform: Affine,
                                   clip_path: Optional[BezPath],

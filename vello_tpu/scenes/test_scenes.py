@@ -429,3 +429,29 @@ def longpathdash(size: float = 256.0, cap: str = "butt") -> Scene:
 DEVICE_SCENES["longpathdash"] = longpathdash
 DEVICE_SCENES["many_draw_objects"] = lambda size=256.0: many_draw_objects(
     size, n=256)
+
+
+def filter_suite(size: float = 256.0) -> Scene:
+    """Layer filter showcase: blur, drop shadow, offset, flood."""
+    s = Scene()
+    k = size / 256.0
+    s.push_blur_layer(4.0 * k)
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.CYAN, None,
+           star_path(64 * k, 64 * k, 6, 18 * k, 44 * k))
+    s.pop_layer()
+    s.push_drop_shadow_layer(5 * k, 5 * k, 3.0 * k, Color(0, 0, 0, 0.7))
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+           rounded_rect_path(150 * k, 30 * k, 230 * k, 100 * k, 12 * k))
+    s.pop_layer()
+    s.push_offset_layer(10 * k, 6 * k)
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.LIME, None,
+           circle_path(64 * k, 180 * k, 36 * k))
+    s.pop_layer()
+    s.push_flood_layer(Color(1, 0, 1, 0.6),
+                       clip_path=star_path(190 * k, 185 * k, 5, 18 * k,
+                                           42 * k))
+    s.pop_layer()
+    return s
+
+
+LAYER_SCENES["filter_suite"] = filter_suite
