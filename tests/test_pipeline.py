@@ -258,3 +258,41 @@ def test_filter_layers():
     s.pop_layer()
     img = Renderer().render(s, RenderParams(64, 64))
     assert 0.01 < img[32, 16, 0] < 0.6  # haze outside the rect
+
+
+def test_render_u8_matches_host_conversion():
+    from vello_tpu.utils.png import to_rgba8
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), Color(0.8, 0.3, 0.1, 0.7), None,
+           circle_path(32, 32, 20))
+    r = Renderer()
+    f32 = r.render(s, PARAMS)
+    u8 = r.render_u8(s, PARAMS)
+    assert u8.dtype == np.uint8
+    assert np.abs(u8.astype(int) - to_rgba8(f32).astype(int)).max() <= 1
+
+
+def test_fragment_culling_engages_on_sparse_diagonal():
+    # A long thin diagonal: bbox covers the whole canvas but live tiles are
+    # only the diagonal band — est_live must engage n_live < path_tiles and
+    # the render must still match the oracle exactly.
+    from vello_tpu.encoding.resolve import resolve
+    s = Scene()
+    p = BezPath()
+    p.move_to(2, 2)
+    p.line_to(250, 246)
+    p.line_to(246, 250)
+    p.close()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None, p)
+    params = RenderParams(256, 256, base_color=(0, 0, 0, 1))
+    rs = resolve(s.encoding, params)
+    caps = rs.capacities(params)
+    assert rs.est_live < caps.n_path_tiles // 2, \
+        f"est_live {rs.est_live} not sparse vs {caps.n_path_tiles}"
+    r = Renderer()
+    b = r.render(s, params)
+    assert r.last_profile["n_live"] > 0, "culling did not engage"
+    assert r.last_profile["retries"] == 0, "live cap underestimated"
+    a = OracleRenderer().render(s, params)
+    d = np.abs(a.astype(np.float64) - b.astype(np.float64))
+    assert d.max() < 0.05 and d.mean() < 5e-4

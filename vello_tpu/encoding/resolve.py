@@ -75,6 +75,7 @@ class ResolvedScene:
     est_lines: int = 0
     est_touches: int = 0
     est_path_tiles: int = 0
+    est_live: int = 0
 
     def capacities(self, params: RenderParams) -> Capacities:
         return tier_for(
@@ -163,7 +164,7 @@ def _estimate(decoded, transforms, params: RenderParams):
     t = decoded["transform"].astype(np.float64)     # (S, 6)
     n = len(kind)
     if n == 0:
-        return 0, 0, 0, np.zeros((0, 4), np.int32)
+        return 0, 0, 0, 0, np.zeros((0, 4), np.int32)
     # Transform control points.
     x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] + t[:, None, 4]
     y = pts[..., 0] * t[:, None, 1] + pts[..., 1] * t[:, None, 3] + t[:, None, 5]
@@ -228,7 +229,51 @@ def _estimate(decoded, transforms, params: RenderParams):
     areas = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
     areas[empty] = 0
     est_path_tiles = int(areas.sum()) + n_paths
-    return est_lines, est_touches, est_path_tiles, rect
+    # Live-tile bound: per (path, tile-row) hull of touched x-tiles.
+    # Interior (backdrop) tiles always lie between two crossings of that
+    # row, and winding is exactly 0 right of a closed contour's last
+    # crossing, so live fragments = {coverage != 0} is a subset of the
+    # per-row hull. Summing hull widths gives a true upper bound that is
+    # far tighter than the bbox for diagonal/sparse geometry (enables
+    # fragment culling: PipelineStatic.n_live).
+    ht1 = params.height_tiles + 1
+    ry0 = np.clip(np.floor(np.minimum(sy0, sy1) - pad / TILE_H),
+                  0, ht1 - 1).astype(np.int64)
+    ry1 = np.clip(np.ceil(np.maximum(sy0, sy1) + pad / TILE_H),
+                  1, ht1).astype(np.int64)
+    nrow = np.maximum(ry1 - ry0, 1)
+    rep = np.repeat(np.arange(len(lines)), nrow)
+    offs = np.arange(nrow.sum()) - np.repeat(np.cumsum(nrow) - nrow, nrow)
+    rows = ry0[rep] + offs
+    key = lp[rep] * ht1 + rows
+    nk = (n_paths + 1) * ht1
+    # Per (line, row) x-interval: interpolate the line at the row's y-span
+    # boundaries (a long line's x-range per row is a thin slice of its
+    # total x-range — using the whole range would inflate the bound back
+    # to the bbox for long diagonals). Horizontal lines (dy ~ 0) live in
+    # one row; their full x-range is the correct hull there.
+    rsy0, rsy1 = sy0[rep], sy1[rep]
+    rsx0, rsx1 = sx0[rep], sx1[rep]
+    slo = np.minimum(rsy0, rsy1)
+    shi = np.maximum(rsy0, rsy1)
+    ya = np.clip(rows.astype(np.float64), slo, shi)
+    yb = np.clip(rows.astype(np.float64) + 1.0, slo, shi)
+    dy = rsy1 - rsy0
+    safe_dy = np.where(np.abs(dy) > 1e-12, dy, 1.0)
+    ta = np.clip((ya - rsy0) / safe_dy, 0.0, 1.0)
+    tb = np.clip((yb - rsy0) / safe_dy, 0.0, 1.0)
+    horiz = np.abs(dy) <= 1e-12
+    xa = np.where(horiz, np.minimum(rsx0, rsx1), rsx0 + ta * (rsx1 - rsx0))
+    xb = np.where(horiz, np.maximum(rsx0, rsx1), rsx0 + tb * (rsx1 - rsx0))
+    padx = pad / TILE_W
+    kx0 = np.clip(np.floor(np.minimum(xa, xb) - padx), 0, wt1)
+    kx1 = np.clip(np.ceil(np.maximum(xa, xb) + padx), 0, wt1)
+    hmin = np.full(nk, 1e9)
+    hmax = np.full(nk, -1e9)
+    np.minimum.at(hmin, key, kx0)
+    np.maximum.at(hmax, key, kx1)
+    est_live = int(np.maximum(hmax - hmin, 0).sum(where=hmax >= hmin))
+    return est_lines, est_touches, est_path_tiles, est_live, rect
 
 
 class Resolver:
@@ -359,7 +404,7 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
             paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
                                       dtype=np.float32)
 
-    est_lines, est_touches, est_path_tiles, path_rect = _estimate(
+    est_lines, est_touches, est_path_tiles, est_live, path_rect = _estimate(
         decoded, transforms, params)
     if len(path_rect) < P:
         path_rect = np.concatenate(
@@ -374,4 +419,4 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         blur_rec=blur_rec, path_kind=path_kind, path_rect=path_rect,
         ramps=ramp_cache.array(), atlas=atlas.array(),
         est_lines=est_lines, est_touches=est_touches,
-        est_path_tiles=est_path_tiles)
+        est_path_tiles=est_path_tiles, est_live=est_live)

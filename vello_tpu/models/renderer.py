@@ -37,6 +37,20 @@ from ..pipeline.render import PipelineStatic, get_pipeline
 from ..scene import Scene
 
 
+from functools import partial as _partial
+
+
+@jax.jit
+def _to_rgba8_device(img):
+    """Premultiplied f32 -> straight-alpha RGBA8, on device (shrinks the
+    host readback 4x; unpremultiply matches utils.png.to_rgba8)."""
+    a = jnp.clip(img[..., 3:4], 0.0, 1.0)
+    safe = jnp.where(a > 1e-6, a, 1.0)
+    rgb = jnp.clip(img[..., :3] / safe, 0.0, 1.0)
+    full = jnp.concatenate([rgb, a], axis=-1)
+    return (full * 255.0 + 0.5).astype(jnp.uint8)
+
+
 def _pad(a: np.ndarray, n: int, fill=0):
     if len(a) >= n:
         return np.asarray(a[:n])
@@ -95,6 +109,19 @@ class Renderer:
         rs = resolve(scene.encoding, params)
         return self.render_resolved(rs, params)
 
+    def render_u8(self, scene: Scene, params: RenderParams) -> np.ndarray:
+        """render() variant returning straight-alpha RGBA8 (H, W, 4) uint8,
+        converted ON DEVICE — the surface-blit format of the reference
+        (vello/src/lib.rs render_to_texture target). 4x less readback than
+        the premultiplied f32 API, which dominates frame latency on a
+        tunneled device (~16 MB -> 4 MB at 1024^2)."""
+        if params.antialiasing != "area":
+            img = self._render_supersampled(scene, params)
+            from ..utils.png import to_rgba8
+            return to_rgba8(img)
+        rs = resolve(scene.encoding, params)
+        return self.render_resolved(rs, params, out="rgba8")
+
     def _render_supersampled(self, scene: Scene,
                              params: RenderParams) -> np.ndarray:
         """msaa8/msaa16 modes: rendered as 3x/4x supersampling — per-sample
@@ -114,7 +141,7 @@ class Renderer:
         return img[:h * k, :w * k].reshape(h, k, w, k, 4).mean(axis=(1, 3))
 
     def render_resolved(self, rs: ResolvedScene,
-                        params: RenderParams) -> np.ndarray:
+                        params: RenderParams, out: str = "f32") -> np.ndarray:
         import time
         t_start = time.time()
         caps = rs.capacities(params)
@@ -129,12 +156,31 @@ class Renderer:
             from ..pipeline.layered import (build_layer_plan,
                                             get_layered_pipeline)
             plan, plan_dyn = build_layer_plan(rs)
+        from ..encoding.config import next_tier_size
+        # Live-fragment cap: coverage can't exceed the touched tiles (plus a
+        # margin for backdrop-only interiors); retry bit 16 grows it.
+        n_live = min(caps.n_path_tiles,
+                     next_tier_size(min(caps.n_path_tiles,
+                                        rs.est_live + 2 * rs.n_paths)))
         for attempt in range(self.max_retries + 1):
             static = PipelineStatic(
                 caps_key=caps.key(), width=params.width,
                 height=params.height, kinds_present=kinds,
-                aa=params.antialiasing)
-            bufs = pack_buffers(rs, caps, params)
+                aa=params.antialiasing,
+                n_live=0 if n_live >= caps.n_path_tiles else n_live)
+            # Re-rendering the same resolved scene (animation loops, profiling,
+            # serving) must not re-pack + re-upload ~MBs of buffers per frame —
+            # through the tunneled backend the transfer dwarfs the frame.
+            # Cache the device-resident buffers on the ResolvedScene, keyed by
+            # the tier + params (retries at a bigger tier re-pack).
+            cache_key = (caps.key(), params.width, params.height)
+            cached = getattr(rs, "_device_bufs", None)
+            if cached is not None and cached[0] == cache_key:
+                bufs = cached[1]
+            else:
+                bufs = {k: jax.device_put(np.asarray(v)) for k, v in
+                        pack_buffers(rs, caps, params).items()}
+                object.__setattr__(rs, "_device_bufs", (cache_key, bufs))
             if has_layers:
                 img, overflow = get_layered_pipeline(static, plan)(
                     bufs, plan_dyn)
@@ -143,6 +189,8 @@ class Renderer:
             overflow = int(jax.device_get(overflow))
             if overflow == 0:
                 t_done = time.time()
+                if out == "rgba8":
+                    img = _to_rgba8_device(img)
                 out = np.asarray(jax.device_get(img))
                 self.last_profile = {
                     "wall_s": t_done - t_start,
@@ -153,12 +201,15 @@ class Renderer:
                          "ramps"], caps.key())),
                     "retries": attempt,
                     "layered": has_layers,
+                    "n_live": static.n_live,
                     "est": {"lines": rs.est_lines,
                             "touches": rs.est_touches,
                             "path_tiles": rs.est_path_tiles},
                 }
                 return out
             # Grow the overflowed buffers (robust-memory retry).
+            if overflow & 16:
+                n_live *= 2
             caps = Capacities(
                 n_tags=caps.n_tags, n_points=caps.n_points,
                 n_segs=caps.n_segs,

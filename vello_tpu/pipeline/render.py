@@ -35,6 +35,7 @@ class PipelineStatic:
     height: int
     kinds_present: Tuple[int, ...]
     aa: str = "area"  # "area" | "centers" (binary per-sample, used by msaa)
+    n_live: int = 0   # live-fragment cap after culling (0 = no culling)
 
     @property
     def width_tiles(self):
@@ -156,17 +157,32 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
     coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
-    # --- sort fragments by (local gtile, draw order) ---
+    # --- cull + sort fragments by (local gtile, draw order) ---
+    # Fragments with zero coverage everywhere (bbox tiles the shape never
+    # reaches) paint and composite as no-ops; route them to the dump key so
+    # the sort pushes them past the live-fragment cap and every downstream
+    # stage runs at n_live instead of the full bbox-tile capacity.
     if stripe is None:
         ty_lo, ht_local = 0, HT
     else:
         ty_lo, ht_local = stripe
     n_loc = WT * ht_local
     owned = tvalid & (tx < WT) & (ty >= ty_lo) & (ty < ty_lo + ht_local)
+    overflow_live = jnp.int32(0)
+    if static.n_live:
+        live = jnp.max(coverage, axis=1) > (1.0 / 512.0)
+        owned = owned & live
+        n_live_actual = jnp.sum(owned.astype(jnp.int32))
+        overflow_live = 16 * (n_live_actual > static.n_live).astype(jnp.int32)
     gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
     g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
+    if static.n_live:
+        g_s = g_s[:static.n_live]
+        tpath_s = tpath_s[:static.n_live]
+        fidx_s = fidx_s[:static.n_live]
     coverage_s = coverage[fidx_s]      # 1 KB rows — 4x cheaper than src rows
-    overflow = fl["overflow"] + 4 * touches["overflow"] + 8 * overflow_tiles
+    overflow = fl["overflow"] + 4 * touches["overflow"] \
+        + 8 * overflow_tiles + overflow_live
     out = {
         "g_s": g_s,                    # sorted local gtile per fragment
         "tpath_s": tpath_s,            # owning path (draw order key)
