@@ -36,9 +36,13 @@ def main():
     params = RenderParams(SIZE, SIZE, base_color=(0.1, 0.1, 0.1, 1.0))
     rs = resolve(scene.encoding, params)
     caps = rs.capacities(params)
+    from vello_tpu.encoding.config import next_tier_size
+    n_live = min(caps.n_path_tiles,
+                 next_tier_size(rs.est_live + 64 + rs.n_paths // 16))
     static = PipelineStatic(
         caps_key=caps.key(), width=SIZE, height=SIZE,
-        kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))))
+        kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))),
+        n_live=0 if n_live >= caps.n_path_tiles else n_live)
     bufs = pack_buffers(rs, caps, params)
     bufs = {k: jax.device_put(np.asarray(v)) for k, v in bufs.items()}
     encode_s = time.time() - t0

@@ -41,30 +41,48 @@ def main():
     W = float(WT_alloc * TILE_W)
 
     def upto(stage):
+        # Mirrors pipeline.render.prepare_fragments stage-for-stage (rpack,
+        # payload sort, Pallas coverage) so the cut points time the REAL path.
         def fn(bufs):
             d = pathtag.decode_and_transform(
                 bufs["tags"], bufs["data"], bufs["transforms"],
-                bufs["styles"])
+                bufs["styles"], data4=bufs.get("data4"))
             if stage == "decode":
                 return d["points"].sum()
+            rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
             fl = fo.flatten(d, caps.n_lines, max(caps.n_lines // 4, 256),
-                            W, float(size))
+                            W, float(size), rpack=tiling.rect_pack(rects))
             if stage == "flatten":
                 return fl["lines"].sum() + fl["edge_lines"].sum()
             lines = jnp.concatenate([fl["lines"], fl["edge_lines"]])
             lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]])
-            rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
-            t = tiling.make_touches(lines, lpath, rects, caps.n_touches)
+            lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]])
+            t = tiling.make_touches(lines, lpath, rects, caps.n_touches,
+                                    line_rect=lrect)
             if stage == "touches":
                 return t["seg"].sum() + t["ftile"].sum()
-            tix = jnp.arange(caps.n_touches, dtype=jnp.int32)
-            f_s, tix_s = jax.lax.sort((t["ftile"], tix), num_keys=1)
-            seg_s = t["seg"][tix_s]
+            seg = t["seg"]
+            (f_s, s0, s1, s2, s3, yedge_s, bdval_s) = jax.lax.sort(
+                (t["ftile"], seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
+                 t["y_edge"], t["backdrop_val"]), num_keys=1)
+            seg_s = jnp.stack([s0, s1, s2, s3], axis=-1)
             if stage == "sort":
                 return f_s.sum() + seg_s.sum()
-            cov = fine_xla.coverage_delta(seg_s, t["y_edge"][tix_s])
+            from vello_tpu.ops.pallas_kernels import (coverage_cumsum_pallas,
+                                                      use_pallas)
+            from vello_tpu.ops.segmented import (segment_starts,
+                                                 segment_sum_from_starts)
             ids = jnp.clip(f_s, 0, caps.n_path_tiles)
-            fc = segment_sum_sorted(cov, ids, caps.n_path_tiles)
+            starts = segment_starts(ids, caps.n_path_tiles)
+            if use_pallas():
+                csum = coverage_cumsum_pallas(seg_s, yedge_s)
+                cpad = jnp.concatenate(
+                    [jnp.zeros((1, TILE_H * TILE_W), jnp.float32), csum])
+                at = cpad[starts]
+                fc = at[1:] - at[:-1]
+            else:
+                cov = fine_xla.coverage_delta(seg_s, yedge_s)
+                fc = segment_sum_from_starts(cov, starts)
             if stage == "coverage":
                 return fc.sum()
             raise ValueError(stage)

@@ -159,9 +159,13 @@ class Renderer:
         from ..encoding.config import next_tier_size
         # Live-fragment cap: coverage can't exceed the touched tiles (plus a
         # margin for backdrop-only interiors); retry bit 16 grows it.
+        # est_live is an exact f64 upper bound (0.5 px padded); the margin
+        # only covers f32 tile-assignment jitter, so keep it small — an
+        # underestimate costs one retry (bit 16), an over-wide margin pushes
+        # dense scenes over the next tier and disables culling entirely.
         n_live = min(caps.n_path_tiles,
                      next_tier_size(min(caps.n_path_tiles,
-                                        rs.est_live + 2 * rs.n_paths)))
+                                        rs.est_live + 64 + rs.n_paths // 16)))
         for attempt in range(self.max_retries + 1):
             static = PipelineStatic(
                 caps_key=caps.key(), width=params.width,

@@ -70,14 +70,17 @@ def expand_by_counts(counts, out_size):
     total = incl[-1] if s else 0
     offs = incl - counts
     pos = jnp.arange(out_size, dtype=jnp.int32)
-    keys = jnp.concatenate([incl.astype(jnp.int32), pos])
-    tags = jnp.concatenate([jnp.zeros(s, jnp.int32),
-                            jnp.ones(out_size, jnp.int32)])
-    payload = jnp.concatenate([jnp.zeros(s, jnp.int32), pos])
-    k_s, t_s, p_s = jax.lax.sort((keys, tags, payload), num_keys=2)
-    seg = jnp.cumsum(1 - t_s)  # markers passed = source element index
+    # Sort cost on TPU scales with operand count (each merge pass moves every
+    # channel), so pack (key, tag) into ONE i32 — the position payload is
+    # recoverable from the key itself (packed >> 1) for tag-1 entries.
+    packed = jnp.concatenate([incl.astype(jnp.int32) * 2,
+                              pos * 2 + 1])
+    (k_s,) = jax.lax.sort((packed,), num_keys=1)
+    t_s = k_s & 1                     # 1 = output position entry
+    seg = jnp.cumsum(1 - t_s)         # markers passed = source element index
     # restore output order: position entries (tag 1) sorted by position
-    _, _, seg_out = jax.lax.sort((1 - t_s, p_s, seg), num_keys=2)
+    key2 = jnp.where(t_s == 1, k_s >> 1, jnp.int32(2 ** 30))
+    _, seg_out = jax.lax.sort((key2, seg), num_keys=1)
     idx = jnp.clip(seg_out[:out_size], 0, max(s - 1, 0)).astype(jnp.int32)
     sub = pos - offs[idx]
     valid = pos < total

@@ -324,9 +324,10 @@ def backdrop_prefix(backdrop_idx, backdrop_val, rects, n_tile_cap):
     acc = scatter_sum_via_sort(backdrop_val, idx, n_tile_cap)
     # Row starts: flat tile t belongs to path p = searchsorted(base_incl, t);
     # its row start is base[p] + row * stride[p].
+    from .segmented import searchsorted_dense
     t = jnp.arange(n_tile_cap, dtype=jnp.int32)
     incl = rects["base"] + rects["areas"]
-    pth = jnp.searchsorted(incl, t, side="right").astype(jnp.int32)
+    pth = searchsorted_dense(incl, n_tile_cap, side="right")
     pth = jnp.clip(pth, 0, len(rects["base"]) - 1)
     base = rects["base"][pth]
     stride = jnp.maximum(rects["stride"][pth], 1)

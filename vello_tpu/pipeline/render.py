@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..encoding.config import Capacities, TILE_H, TILE_W
 from ..ops import fine_xla, flatten as flatten_ops, pathtag, tiling
+from ..ops import segmented
 from ..ops.segmented import segment_sum_sorted
 
 
@@ -97,13 +98,19 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                                   line_rect=lrect)
 
     # --- sort touches by flat tile (the "coarse" sort) ---
-    # Payloads ride the sort network directly: carrying 6 f32 operands
-    # through lax.sort is cheaper than 3 post-sort gathers (~5-7 ms each).
-    seg = touches["seg"]
-    (ftile_s, s0, s1, s2, s3, yedge_s, bdval_s) = jax.lax.sort(
-        (touches["ftile"], seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3],
-         touches["y_edge"], touches["backdrop_val"]), num_keys=1)
-    seg_s = jnp.stack([s0, s1, s2, s3], axis=-1)
+    # Sort only (key, index) — every payload operand rides ALL ~18 merge
+    # passes of the sort network, while a packed ROW gather fetches the 6
+    # per-touch fields in one pass afterwards (device trace: the 7-operand
+    # sort was 8.3 ms/frame; 2-operand sort + row gather is ~3.5 ms).
+    tpack = jnp.concatenate(
+        [touches["seg"], touches["y_edge"][:, None],
+         touches["backdrop_val"][:, None]], axis=-1)          # (T, 6)
+    tix = jnp.arange(tpack.shape[0], dtype=jnp.int32)
+    ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
+    trow = tpack[tix_s]
+    seg_s = trow[:, :4]
+    yedge_s = trow[:, 4]
+    bdval_s = trow[:, 5]
     seg_ids = jnp.clip(ftile_s, 0, caps.n_path_tiles)
     # One searchsorted + one gather serve both coverage and the
     # backdrop-delta channel (deltas target ftile+1 => roll by one tile).
@@ -131,7 +138,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     # --- per flat tile metadata ---
     t = jnp.arange(caps.n_path_tiles, dtype=jnp.int32)
     incl = rects["base"] + rects["areas"]
-    tpath = jnp.searchsorted(incl, t, side="right").astype(jnp.int32)
+    tpath = segmented.searchsorted_dense(
+        incl, caps.n_path_tiles, side="right")
     tpath = jnp.clip(tpath, 0, caps.n_paths - 1)
     is_clip = bufs["path_kind"][tpath] != 0
     tvalid = t < rects["total_tiles"]
@@ -244,9 +252,8 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
     if use_pallas() and stripe is None:
         # Fused Pallas fine: per-tile sequential src-over in VMEM replaces
         # the XLA suffix-sum/exp/segmented-sum composite passes.
-        starts_g = jnp.searchsorted(
-            fr["g_s"], jnp.arange(fr["n_loc"] + 1, dtype=jnp.int32),
-            side="left").astype(jnp.int32)
+        starts_g = segmented.searchsorted_dense(
+            fr["g_s"], fr["n_loc"] + 1, side="left")
         tiles = fine_composite_solid(fr["src_s"], base_premul, starts_g,
                                      fr["n_loc"])
     else:
