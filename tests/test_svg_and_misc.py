@@ -81,3 +81,56 @@ def test_debug_capture_and_validation():
     assert cap["n_lines"] > 4
     problems = validate_line_soup(cap["lines"], cap["line_path"])
     assert problems == [], problems  # closed fill must be watertight
+
+
+def test_colr_v0_emoji_glyphs(tmp_path):
+    """COLR v0 color glyphs render their palette layers bottom-to-top
+    (scene.rs:957-1131 COLR painting adapter analog)."""
+    import numpy as np
+    from synth_fonts import build_colr_font
+    from vello_tpu import Fill, RenderParams, Scene
+    from vello_tpu.models.renderer import Renderer
+    from vello_tpu.oracle import OracleRenderer
+    from vello_tpu.peniko import Color
+    from vello_tpu.text import Font, Glyph
+
+    p = str(tmp_path / "colr.ttf")
+    build_colr_font(p)
+    f = Font(p)
+    gid = f.glyph_id("A")
+    layers = f.colr_layers(gid)
+    assert layers is not None and len(layers) == 2
+    s = Scene()
+    s.draw_glyphs(f).font_size(64).brush(Color(0, 0, 0, 1)).draw(
+        Fill.NON_ZERO, [Glyph(gid, 0, 60)])
+    params = RenderParams(64, 64, base_color=(1, 1, 1, 1))
+    a = OracleRenderer().render(s, params)
+    blue = (a[..., 2] > 0.9) & (a[..., 0] < 0.2)
+    red = (a[..., 0] > 0.9) & (a[..., 2] < 0.2)
+    assert red.sum() > 800 and blue.sum() > 300  # both layers visible
+    ys, xs = np.where(blue)
+    # front layer (300..700 x 300..600 units at scale 0.064, baseline y=60)
+    assert 18 <= xs.min() <= 20 and 43 <= xs.max() <= 45
+    b = Renderer().render(s, params)
+    d = np.abs(a - b)
+    assert d.mean() < 5e-4 and d.max() < 0.05
+
+
+def test_variable_font_axis(tmp_path):
+    """Variable-font axis locations change the outline (skrifa
+    normalized_coords analog; fontTools gvar interpolation)."""
+    from synth_fonts import build_var_font
+    from vello_tpu.text import Font, GlyphCache
+
+    p = str(tmp_path / "var.ttf")
+    build_var_font(p)
+    widths = {}
+    for w in (100, 400, 650, 900):
+        f = Font(p, variations={"wght": w})
+        path = GlyphCache().outline(f, f.glyph_id("B"))
+        r = path.bounding_box()
+        widths[w] = r.x1 - r.x0
+    assert widths[400] == 400.0          # default: 100..500
+    assert widths[900] == 700.0          # +300 delta on the right edge
+    assert widths[100] == 400.0          # no delta below default
+    assert 540 < widths[650] < 560       # interpolated (normalized 0.5)

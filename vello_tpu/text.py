@@ -22,22 +22,59 @@ from .peniko import Brush, Color, Fill
 
 
 class Font:
-    """A TrueType/OpenType font backed by fontTools."""
+    """A TrueType/OpenType font backed by fontTools (the ``skrifa`` analog,
+    SURVEY.md §1 L0: outlines, variable fonts, COLR).
+
+    variations: optional {axis_tag: user value} for variable fonts — the
+    skrifa ``LocationRef`` analog (vello/src/scene.rs DrawGlyphs
+    normalized_coords). Each Font instance gets its own cache id, so two
+    instances of one file at different locations never share outlines."""
 
     _next_id = [0]
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, variations: Optional[dict] = None):
         from fontTools.ttLib import TTFont
 
         self.path = path
+        self.variations = dict(variations) if variations else None
         self.tt = TTFont(path, lazy=True)
         self.upem = self.tt["head"].unitsPerEm
         self.glyph_order = self.tt.getGlyphOrder()
         self._cmap = self.tt.getBestCmap()
         self._hmtx = self.tt["hmtx"]
-        self._glyph_set = self.tt.getGlyphSet()
+        if self.variations and "fvar" in self.tt:
+            self._glyph_set = self.tt.getGlyphSet(location=self.variations)
+        else:
+            self._glyph_set = self.tt.getGlyphSet()
         self.id = Font._next_id[0]
         Font._next_id[0] += 1
+        self._colr = None
+        if "COLR" in self.tt and "CPAL" in self.tt \
+                and getattr(self.tt["COLR"], "version", 0) == 0:
+            self._colr = self.tt["COLR"].ColorLayers
+            self._cpal = self.tt["CPAL"].palettes
+
+    def colr_layers(self, gid: int, palette: int = 0):
+        """COLR v0 color-glyph layers: [(layer_gid, Color | None)] bottom
+        to top, or None if this glyph has no color layers (the COLR
+        painting adapter of vello/src/scene.rs:957-1131; palette index
+        0xFFFF = the run's foreground brush)."""
+        if self._colr is None:
+            return None
+        layers = self._colr.get(self.glyph_order[gid])
+        if not layers:
+            return None
+        pal = self._cpal[palette]
+        out = []
+        for rec in layers:
+            lgid = self.tt.getGlyphID(rec.name)
+            if rec.colorID == 0xFFFF:
+                out.append((lgid, None))
+            else:
+                c = pal[rec.colorID]
+                out.append((lgid, Color(c.red / 255.0, c.green / 255.0,
+                                        c.blue / 255.0, c.alpha / 255.0)))
+        return out
 
     def glyph_id(self, ch: str) -> int:
         name = self._cmap.get(ord(ch))
@@ -180,13 +217,26 @@ class DrawGlyphs:
         scale = self._size / self.font.upem
         combined = BezPath()
         for g in glyphs:
-            outline = self._cache.outline(self.font, g.gid)
-            if outline.is_empty():
-                continue
             # font units are y-up; flip into y-down device space
             t = Affine.translate(g.x, g.y) @ Affine.scale(scale, -scale)
             if self._glyph_transform is not None:
                 t = t @ self._glyph_transform
+            layers = self.font.colr_layers(g.gid)
+            if layers is not None:
+                # COLR v0 color glyph: one fill per layer, bottom to top
+                # (scene.rs:957-1131 draw_colr analog; v1 gradients/transforms
+                # are not supported — such glyphs fall back to outlines).
+                for lgid, color in layers:
+                    lpath = self._cache.outline(self.font, lgid)
+                    if lpath.is_empty():
+                        continue
+                    brush = self._brush if color is None else color
+                    self.scene.fill(style, self._transform, brush, None,
+                                    lpath.transform(t))
+                continue
+            outline = self._cache.outline(self.font, g.gid)
+            if outline.is_empty():
+                continue
             combined.extend(outline.transform(t))
         if combined.is_empty():
             return
