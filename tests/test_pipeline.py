@@ -296,3 +296,36 @@ def test_fragment_culling_engages_on_sparse_diagonal():
     a = OracleRenderer().render(s, params)
     d = np.abs(a.astype(np.float64) - b.astype(np.float64))
     assert d.max() < 0.05 and d.mean() < 5e-4
+
+
+def test_radial_gradient_degenerate_kinds():
+    """The four two-point-conic kinds of draw_leaf.wgsl/config.wgsl:60-72:
+    circular, strip (r0==r1), focal-on-circle (a==0), cone (natural edge
+    -> invalid region stays base color)."""
+    from vello_tpu.kurbo import rect_path
+    from vello_tpu.peniko import Extend, Gradient, palette, stops as mk
+
+    cs = mk((0.0, palette.RED), (0.5, palette.YELLOW), (1.0, palette.BLUE))
+
+    def radial(c0, r0, c1, r1):
+        return Gradient.radial(c1, r1, cs, Extend.REPEAT,
+                               center0=c0, radius0=r0)
+
+    cases = [radial((32, 32), 5, (32, 32), 28),      # circular
+             radial((80, 32), 10, (114, 32), 10),    # strip
+             radial((16, 96), 0, (40, 96), 24),      # focal on circle
+             radial((84, 96), 8, (110, 96), 23)]     # cone
+    s = Scene()
+    for i, g in enumerate(cases):
+        x0, y0 = (i % 2) * 64, (i // 2) * 64
+        s.fill(Fill.NON_ZERO, Affine.identity(), g, None,
+               rect_path(x0 + 2, y0 + 2, x0 + 62, y0 + 62))
+    params = RenderParams(128, 128, base_color=(0.1, 0.1, 0.1, 1.0))
+    b = check(s, params)
+    assert not np.isnan(b).any()
+    # semantic checks: cone's invalid region (left of the cone apex at the
+    # panel's left edge) keeps the base color; strip paints between the
+    # parallel edges
+    assert abs(b[96, 67, 0] - 0.1) < 0.02      # outside cone: base
+    assert b[96, 108, 3] > 0.99                # inside cone: painted
+    assert b[32, 96, 3] > 0.99                 # strip band painted
