@@ -134,3 +134,33 @@ def test_variable_font_axis(tmp_path):
     assert widths[900] == 700.0          # +300 delta on the right edge
     assert widths[100] == 400.0          # no delta below default
     assert 540 < widths[650] < 560       # interpolated (normalized 0.5)
+
+
+def test_glyph_raster_cache():
+    """Opt-in glyph raster atlas (glifo atlas analog): close to the vector
+    result, reuses cache entries, and falls back to vectors for
+    non-Color brushes."""
+    import numpy as np
+    from vello_tpu import Fill, RenderParams, Scene
+    from vello_tpu.oracle import OracleRenderer
+    from vello_tpu.peniko import Color
+    from vello_tpu.text import (_GLOBAL_RASTER_CACHE, default_font,
+                                layout_text)
+
+    f = default_font()
+    params = RenderParams(160, 32, base_color=(1, 1, 1, 1))
+
+    def scene(raster):
+        s = Scene()
+        (s.draw_glyphs(f).font_size(20).brush(Color(0, 0, 0, 1))
+         .raster(raster)
+         .draw(Fill.NON_ZERO, layout_text(f, 20, "Hello glyphs", (4, 24))))
+        return s
+
+    a = OracleRenderer().render(scene(False), params)
+    b = OracleRenderer().render(scene(True), params)
+    d = np.abs(a - b)
+    assert d.mean() < 0.02, f"raster text too far from vector: {d.mean()}"
+    n0 = len(_GLOBAL_RASTER_CACHE._cache)
+    OracleRenderer().render(scene(True), params)   # repeat: all cache hits
+    assert len(_GLOBAL_RASTER_CACHE._cache) == n0

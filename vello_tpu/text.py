@@ -178,6 +178,82 @@ class GlyphCache:
 _GLOBAL_CACHE = GlyphCache()
 
 
+class GlyphRasterCache:
+    """(font.id, gid, quantized size, rgba8) -> rendered glyph Image.
+
+    The glyph-atlas analog of ``glifo/src/atlas`` (SURVEY.md §2.4): each
+    (glyph, size, color) is rasterized ONCE on the host (via the oracle's
+    exact-area coverage) and subsequent draws reuse the cached Image —
+    placed as a bilinear-sampled rect, so a page of text costs dozens of
+    image rects instead of thousands of flattened outlines. Opt-in via
+    ``DrawGlyphs.raster(True)`` (the OptimizeSpeed analog); the default
+    path stays vector-exact.
+
+    TPU tradeoff (measured, text_heavy 4000 glyphs @1024²): raster cuts
+    host encode (~74k -> ~13k lines) but each glyph becomes its own
+    image-paint path (40 -> 3240 paths), and per-path work dominates the
+    device frame (41 -> 68 ms). Prefer the default vector path on TPU
+    unless host encode time is the bottleneck (e.g. dynamic text
+    re-encoded per frame)."""
+
+    def __init__(self, max_entries: int = 4096):
+        self._cache: Dict[tuple, tuple] = {}
+        self.max_entries = max_entries
+
+    def image(self, font: Font, gid: int, size: float, color) -> tuple:
+        """Returns (Image | None, (offset_x, offset_y)) — the offset of
+        the image's top-left from the glyph origin (baseline)."""
+        import math
+
+        q = round(size * 2.0) / 2.0      # 0.5 px size quantization
+        rgba = (round(color.r * 255), round(color.g * 255),
+                round(color.b * 255), round(color.a * 255))
+        key = (font.id, gid, q, rgba)
+        got = self._cache.get(key)
+        if got is not None:
+            return got
+        outline = _GLOBAL_CACHE.outline(font, gid)
+        if outline.is_empty():
+            entry = (None, (0.0, 0.0))
+        else:
+            scale = q / font.upem
+            path = outline.transform(Affine.scale(scale, -scale))
+            bb = path.bounding_box()
+            pad = 1
+            ox = math.floor(bb.x0) - pad
+            oy = math.floor(bb.y0) - pad
+            w = int(math.ceil(bb.x1)) - ox + pad
+            h = int(math.ceil(bb.y1)) - oy + pad
+            from .oracle import OracleRenderer
+            from .encoding.config import RenderParams
+            from .peniko import Image, ImageQuality
+            mini = _scene_cls()()
+            mini.fill(Fill.NON_ZERO, Affine.translate(-ox, -oy),
+                      Color(1, 1, 1, 1), None, path)
+            img = OracleRenderer().render(
+                mini, RenderParams(w, h, base_color=(0, 0, 0, 0)))
+            mask = np.clip(img[..., 3], 0.0, 1.0)
+            data = np.empty((h, w, 4), np.uint8)
+            data[..., 0] = rgba[0]
+            data[..., 1] = rgba[1]
+            data[..., 2] = rgba[2]
+            data[..., 3] = np.round(mask * rgba[3]).astype(np.uint8)
+            entry = (Image(data=data, quality=ImageQuality.MEDIUM),
+                     (float(ox), float(oy)))
+        if len(self._cache) >= self.max_entries:
+            self._cache.clear()          # epoch eviction (glifo LRU analog)
+        self._cache[key] = entry
+        return entry
+
+
+def _scene_cls():
+    from .scene import Scene
+    return Scene
+
+
+_GLOBAL_RASTER_CACHE = GlyphRasterCache()
+
+
 @dataclass
 class Glyph:
     gid: int
@@ -196,6 +272,7 @@ class DrawGlyphs:
         self._transform = Affine.IDENTITY
         self._glyph_transform: Optional[Affine] = None
         self._cache = _GLOBAL_CACHE
+        self._raster = False
 
     def font_size(self, size: float) -> "DrawGlyphs":
         self._size = float(size)
@@ -213,10 +290,26 @@ class DrawGlyphs:
         self._glyph_transform = t
         return self
 
+    def raster(self, on: bool = True) -> "DrawGlyphs":
+        """Use the glyph raster atlas (bilinear image rects) instead of
+        vector outlines — OptimizeSpeed analog. Requires a solid Color
+        brush and no glyph_transform; otherwise falls back to vectors."""
+        self._raster = bool(on)
+        return self
+
     def draw(self, style: Fill, glyphs: Iterable[Glyph]) -> None:
         scale = self._size / self.font.upem
+        use_raster = (self._raster and isinstance(self._brush, Color)
+                      and self._glyph_transform is None)
         combined = BezPath()
         for g in glyphs:
+            if use_raster and self.font.colr_layers(g.gid) is None:
+                img, (ox, oy) = _GLOBAL_RASTER_CACHE.image(
+                    self.font, g.gid, self._size, self._brush)
+                if img is not None:
+                    t = self._transform @ Affine.translate(g.x + ox, g.y + oy)
+                    self.scene.draw_image(img, t)
+                continue
             # font units are y-up; flip into y-down device space
             t = Affine.translate(g.x, g.y) @ Affine.scale(scale, -scale)
             if self._glyph_transform is not None:
