@@ -153,3 +153,43 @@ def test_fuzz_layer_trees(seed):
     d = np.abs(a.astype(np.float64) - b)
     assert d.mean() < 1e-4, d.mean()
     assert (d.max(axis=-1) > 0.05).sum() <= 3
+
+
+@pytest.mark.parametrize("seed", [7, 19, 42])
+def test_fuzz_text_filters_clips_combined(seed):
+    """Cross-feature fuzz: raster+vector text, clip layers, blur/shadow
+    filters, and gradients in one scene — device vs oracle."""
+    from vello_tpu.kurbo import circle_path, rect_path
+    from vello_tpu.peniko import Extend, Gradient, stops as mk
+    from vello_tpu.text import default_font, layout_text
+
+    rng = np.random.default_rng(seed)
+    f = default_font()
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(),
+           Gradient.linear((0, 0), (96, 96),
+                           mk(COLORS[0], COLORS[3]), Extend.PAD),
+           None, rect_path(0, 0, 96, 96))
+    if rng.random() < 0.5:
+        s.push_clip_layer(Affine.identity(),
+                          circle_path(48, 48, float(rng.uniform(28, 46))))
+    if rng.random() < 0.5:
+        s.push_blur_layer(float(rng.uniform(0.5, 2.5)))
+    else:
+        s.push_drop_shadow_layer(2, 2, 1.0, COLORS[5].with_alpha(0.5))
+    (s.draw_glyphs(f).font_size(float(rng.uniform(10, 18)))
+     .brush(COLORS[int(rng.integers(0, 6))])
+     .raster(bool(rng.random() < 0.5))
+     .draw(Fill.NON_ZERO, layout_text(f, 14, "Fz gj Q", (4, 40))))
+    s.fill(Fill.EVEN_ODD, Affine.rotate_about(0.3, 48, 48),
+           COLORS[int(rng.integers(0, 6))].with_alpha(0.6), None,
+           circle_path(48, 60, 20))
+    s.pop_layer()
+    while s._layer_depth > 0:
+        s.pop_layer()
+    params = RenderParams(96, 96, base_color=(1, 1, 1, 1))
+    a = OracleRenderer().render(s, params)
+    b = Renderer().render(s, params)
+    d = np.abs(a.astype(np.float64) - b)
+    assert d.mean() < 1e-3, d.mean()
+    assert (d.max(axis=-1) > 0.05).sum() < 20
