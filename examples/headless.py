@@ -20,6 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", help="scene name or .svg path")
+    ap.add_argument("--fit", action="store_true",
+                    help="scale an SVG's viewBox to fill the canvas")
     ap.add_argument("out", nargs="?", default="out.png")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--renderer", choices=["device", "oracle"],
@@ -54,8 +56,23 @@ def main():
 
     t0 = time.time()
     if args.scene.endswith(".svg"):
+        import xml.etree.ElementTree as ET
+
+        from vello_tpu.kurbo import Affine as A
         from vello_tpu.utils.svg import load_svg
-        scene = load_svg(args.scene)
+        t = A.IDENTITY
+        if args.fit:
+            root = ET.parse(args.scene).getroot()
+            vb = root.get("viewBox")
+            if vb:
+                x0, y0, w, h = (float(v) for v in vb.replace(",", " ").split())
+            else:
+                x0 = y0 = 0.0
+                w = float((root.get("width") or "512").rstrip("px"))
+                h = float((root.get("height") or "512").rstrip("px"))
+            k = args.size / max(w, h)
+            t = A.scale(k) @ A.translate(-x0, -y0)
+        scene = load_svg(args.scene, transform=t)
     else:
         scene = all_scenes[args.scene](float(args.size))
     t_build = time.time() - t0
