@@ -36,10 +36,13 @@ def searchsorted_dense(sorted_data: jnp.ndarray, n_queries: int,
     (k_s,) = jax.lax.sort((packed,), num_keys=1)
     j = jnp.arange(n_d + n_queries, dtype=jnp.int32)
     isq = (k_s & 1) == qpar
-    res = j - (k_s >> 1)
-    key2 = jnp.where(isq, k_s >> 1, jnp.int32(2 ** 30))
-    _, out = jax.lax.sort((key2, res), num_keys=1)
-    return out[:n_queries]
+    # The k-th query's merged slot j_k has exactly j_k - k data elements
+    # before it, and queries keep their k order through the merge — so
+    # sorting just the query slot POSITIONS (1 operand, no payload) and
+    # subtracting arange gives the dense answer directly.
+    pos = jnp.where(isq, j, jnp.int32(2 ** 30))
+    (pos_s,) = jax.lax.sort((pos,), num_keys=1)
+    return pos_s[:n_queries] - jnp.arange(n_queries, dtype=jnp.int32)
 
 
 def segment_starts(sorted_ids: jnp.ndarray, num_segments: int):
