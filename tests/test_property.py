@@ -193,3 +193,37 @@ def test_fuzz_text_filters_clips_combined(seed):
     d = np.abs(a.astype(np.float64) - b)
     assert d.mean() < 1e-3, d.mean()
     assert (d.max(axis=-1) > 0.05).sum() < 20
+
+
+@pytest.mark.parametrize("seed", [5, 9])
+def test_fuzz_culling_with_offscreen_clipping(seed):
+    """Fragment culling under heavy viewport clipping: the est_live bound
+    must hold (no retries) for long thin shapes crossing every edge, and
+    pixels must match the oracle."""
+    from vello_tpu.models.renderer import Renderer as R
+
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    for i in range(8):
+        p = BezPath()
+        pts = rng.uniform(-200, 712, (3, 2))
+        p.move_to(*pts[0])
+        p.line_to(*pts[1])
+        p.line_to(*(pts[1] + rng.uniform(2, 6, 2)))
+        p.close()
+        s.fill(Fill.NON_ZERO, Affine.identity(),
+               COLORS[i % 6].with_alpha(0.5), None, p)
+        p2 = BezPath()
+        p2.move_to(*pts[2])
+        p2.curve_to(*rng.uniform(-200, 712, 6))
+        s.stroke(Stroke(width=2.0), Affine.identity(), COLORS[(i + 3) % 6],
+                 None, p2)
+    params = RenderParams(512, 512, base_color=(0, 0, 0, 1))
+    r = R()
+    b = r.render(s, params)
+    assert r.last_profile["n_live"] > 0, "culling did not engage"
+    assert r.last_profile["retries"] == 0, "est_live bound violated"
+    a = OracleRenderer().render(s, params)
+    d = np.abs(a.astype(np.float64) - b)
+    assert d.mean() < 5e-4
+    assert (d.max(axis=-1) > 0.05).sum() < 20
