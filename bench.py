@@ -54,6 +54,15 @@ def main():
     # fetching a scalar is the reliable device-sync here.
     _sync = int(jax.device_get(overflow))
     compile_s = time.time() - t0
+    if _sync != 0 and static.n_live:
+        # live-fragment bound overflowed: fall back to culling disabled
+        # (the Renderer has a retry loop; the bench keeps one static).
+        static = PipelineStatic(
+            caps_key=caps.key(), width=SIZE, height=SIZE,
+            kinds_present=static.kinds_present)
+        fn = get_pipeline(static)
+        img, overflow = fn(bufs)
+        _sync = int(jax.device_get(overflow))
     if _sync != 0:
         print(json.dumps({"metric": "error", "value": -1, "unit": "",
                           "vs_baseline": 0,
