@@ -174,14 +174,17 @@ class Encoding:
     def append(self, other: "Encoding", transform: Affine = None) -> None:
         """Append another encoding, optionally rebasing its transforms
         (``encoding.rs:94-174``)."""
-        base = len(self.transforms)
         if transform is not None and not transform.is_identity():
             for c in other.transforms:
                 t = transform @ Affine(c)
                 self.transforms.append(tuple(float(v) for v in t.coeffs))
-            if not other.transforms:
-                # Paths with implicit identity: ensure the transform applies.
-                pass
+            if not other.transforms and other.path_tags:
+                # Paths with implicit identity transform: emit an explicit
+                # marker so the rebase transform actually applies (otherwise
+                # appended segments would bind to self's last transform).
+                self.transforms.append(
+                    tuple(float(v) for v in transform.coeffs))
+                self.path_tags.append(TAG_TRANSFORM)
         else:
             self.transforms.extend(other.transforms)
         self.path_tags.extend(other.path_tags)
@@ -191,7 +194,6 @@ class Encoding:
         self.n_paths += other.n_paths
         self.n_path_segments += other.n_path_segments
         self.n_open_layers += other.n_open_layers
-        del base
 
     # -- packing -------------------------------------------------------------
     def packed_streams(self):

@@ -304,30 +304,18 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
     decoded = decode_segments(tags, data, transforms, styles)
     n_paths = encoding.n_paths
 
-    # per-path transform index (first segment of each path wins)
-    path_trans = np.zeros(max(n_paths, 1), dtype=np.int64)
+    # per-path transform (first segment of each path wins) — one vectorised
+    # pass; np.unique(return_index) gives each path's first segment.
+    path_tmat = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
+                        (max(n_paths, 1), 1))
+    first_seg = None
     if len(decoded["path_ix"]):
-        first = np.full(n_paths, -1, dtype=np.int64)
         pix = decoded["path_ix"]
-        # first occurrence of each path index
-        rev = pix[::-1]
-        idx = len(pix) - 1 - np.arange(len(pix))[::-1]
-        del rev, idx
-        seen = {}
-        for i, p in enumerate(pix):
-            if p not in seen:
-                seen[p] = i
-        for p, i in seen.items():
-            first[p] = i
-        tmats = decoded["transform"]
-        path_tmat = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
-                            (max(n_paths, 1), 1))
-        for p in range(n_paths):
-            if first[p] >= 0:
-                path_tmat[p] = tmats[first[p]]
-    else:
-        path_tmat = np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32),
-                            (max(n_paths, 1), 1))
+        uniq, first_ix = np.unique(pix, return_index=True)
+        valid = (uniq >= 0) & (uniq < n_paths)
+        uniq, first_ix = uniq[valid], first_ix[valid]
+        path_tmat[uniq] = decoded["transform"][first_ix]
+        first_seg = (uniq, first_ix)
 
 
     P = max(n_paths, 1)
@@ -344,13 +332,11 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
     draw_path_ix = np.full(max(len(encoding.draws), 1), -1, dtype=np.int32)
     layers: List[LayerInfo] = []
 
-    # Per-path fill rule from the style stream via first segment.
-    seg_path = decoded["path_ix"]
-    seg_fill = decoded["fill_rule"]
-    for p in range(n_paths):
-        m = seg_path == p
-        if m.any():
-            fill_rule[p] = seg_fill[np.argmax(m)]
+    # Per-path fill rule from the style stream via first segment (same
+    # vectorised first-occurrence pass as the transforms above).
+    if first_seg is not None:
+        uniq, first_ix = first_seg
+        fill_rule[uniq] = decoded["fill_rule"][first_ix]
 
     path_cursor = 0
     for d, rec in enumerate(encoding.draws):

@@ -99,6 +99,13 @@ class Affine:
     def inverse(self) -> "Affine":
         a, b, c, d, e, f = self.coeffs
         det = a * d - b * c
+        if det == 0.0:
+            # Singular transform (e.g. an animation frame passing through
+            # scale(0)): the mapped geometry is degenerate and draws nothing.
+            # Return an all-zero map instead of raising so paint resolution
+            # survives, matching the reference's device-side inf/NaN ->
+            # nothing-drawn behavior.
+            return Affine((0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
         inv_det = 1.0 / det
         return Affine((
             d * inv_det, -b * inv_det, -c * inv_det, a * inv_det,

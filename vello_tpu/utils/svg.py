@@ -149,6 +149,12 @@ def parse_path_data(d: str) -> BezPath:
         if tok.isalpha():
             cmd = tok
             i += 1
+        elif cmd is None or cmd.upper() == "Z":
+            # Numeric token with no active command (leading number, or a
+            # number after Z): malformed per the SVG path grammar — raising
+            # here also prevents an infinite loop on the unconsumed token.
+            raise ValueError(
+                f"malformed path data: unexpected token {tok!r} at {i}")
         # implicit repeat of last command
         c = cmd
         rel = c.islower()
