@@ -65,6 +65,14 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
     # Shifted windows: data4[i, k] == data[i + k] — lets the device decode a
     # segment's up-to-4 control points with one row gather.
     data4 = np.stack([np.roll(data, -k, axis=0) for k in range(4)], axis=1)
+    # All per-path paint fields in one matrix: the fine stage fetches them
+    # with ONE row gather per fragment (TPU gathers cost per row, not per
+    # column; six separate gathers were ~3 ms/frame at the mmark tier).
+    paint_pack = np.concatenate([
+        rs.paint_kind[:, None].astype(np.float32),
+        rs.color, rs.grad_rec, rs.paint_inv, rs.image_rec, rs.blur_rec,
+        rs.path_kind[:, None].astype(np.float32),
+    ], axis=1)                                            # (P, 40)
     return {
         "tags": _pad(rs.tags.astype(np.int32), caps.n_tags),
         "data": data,
@@ -80,6 +88,7 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         "blur_rec": _pad(rs.blur_rec, caps.n_paths),
         "path_kind": _pad(rs.path_kind, caps.n_paths),
         "path_rect": _pad(rs.path_rect, caps.n_paths),
+        "paint_pack": _pad(paint_pack, caps.n_paths),
         "ramps": rs.ramps,
         "atlas": rs.atlas,
         "base_color": np.asarray(params.base_color, dtype=np.float32),

@@ -66,11 +66,14 @@ def _cumsum0(vals):
 def segment_sum_from_starts(vals: jnp.ndarray, starts: jnp.ndarray
                             ) -> jnp.ndarray:
     """Segment sums via one cumsum + ONE gather: out[s] =
-    cpad[starts[s+1]] - cpad[starts[s]] = diff(cpad[starts])."""
+    csum[starts[s+1]-1] - csum[starts[s]-1] (start 0 masked to 0) — a
+    masked gather instead of physically prepending a zero row (the concat
+    would copy the whole cumsum tensor)."""
     c = _cumsum0(vals)
-    zero = jnp.zeros((1,) + vals.shape[1:], dtype=c.dtype)
-    cpad = jnp.concatenate([zero, c], axis=0)          # cpad[i] = sum(<i)
-    at = cpad[starts]
+    mask = starts > 0
+    if vals.ndim > 1:
+        mask = mask.reshape((-1,) + (1,) * (vals.ndim - 1))
+    at = jnp.where(mask, c[jnp.maximum(starts - 1, 0)], 0)
     return at[1:] - at[:-1]
 
 

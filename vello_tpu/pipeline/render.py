@@ -119,10 +119,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     starts = segment_starts(seg_ids, caps.n_path_tiles)
     if use_pallas():
         # Fused Pallas kernel: winding coverage + running cumsum in VMEM.
+        # Gather csum[starts-1] with start==0 masked instead of physically
+        # prepending a zero row (the concat copies the whole 268 MB tensor).
         csum = coverage_cumsum_pallas(seg_s, yedge_s)
-        cpad = jnp.concatenate(
-            [jnp.zeros((1, TILE_H * TILE_W), jnp.float32), csum])
-        at = cpad[starts]
+        at = jnp.where((starts > 0)[:, None],
+                       csum[jnp.maximum(starts - 1, 0)], 0.0)
         frag_cov = at[1:] - at[:-1]                      # (F, 256)
     else:
         cov = fine_xla.coverage_delta(seg_s, yedge_s)    # (T, 256)
@@ -136,28 +137,35 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
     # --- per flat tile metadata ---
+    # TPU row gathers cost ~10ns/ROW regardless of width, so the six
+    # per-path lookups ride ONE packed row gather instead of six.
     t = jnp.arange(caps.n_path_tiles, dtype=jnp.int32)
     incl = rects["base"] + rects["areas"]
     tpath = segmented.searchsorted_dense(
         incl, caps.n_path_tiles, side="right")
     tpath = jnp.clip(tpath, 0, caps.n_paths - 1)
-    is_clip = bufs["path_kind"][tpath] != 0
+    tmeta = jnp.stack([bufs["path_kind"], rects["stride"], rects["base"],
+                       rects["tx0"], rects["ty0"], bufs["fill_rule"]],
+                      axis=-1)                            # (P, 6) i32
+    trow = tmeta[tpath]                                   # (F, 6)
+    is_clip = trow[:, 0] != 0
     tvalid = t < rects["total_tiles"]
     if not keep_clip_paths:
         tvalid = tvalid & ~is_clip
-    stride = jnp.maximum(rects["stride"][tpath], 1)
-    rel = t - rects["base"][tpath]
-    tx = rects["tx0"][tpath] + rel % stride
-    ty = rects["ty0"][tpath] + rel // stride
+    stride = jnp.maximum(trow[:, 1], 1)
+    rel = t - trow[:, 2]
+    tx = trow[:, 3] + rel % stride
+    ty = trow[:, 4] + rel // stride
 
     # Backdrop = inclusive prefix of the deltas along each tile row
     # (backdrop_dyn.wgsl replacement, sharing this stage's tpath/rel).
-    row_start = rects["base"][tpath] + (rel // stride) * stride
+    row_start = trow[:, 2] + (rel // stride) * stride
     cbd = jnp.cumsum(bd_delta)
-    backdrop = cbd - cbd[row_start] + bd_delta[row_start]
+    bdpack = jnp.stack([cbd, bd_delta], axis=-1)[row_start]
+    backdrop = cbd - bdpack[:, 0] + bdpack[:, 1]
 
     winding = backdrop[:, None].astype(jnp.float32) + frag_cov
-    rule = bufs["fill_rule"][tpath][:, None]
+    rule = trow[:, 5][:, None]
     coverage = fine_xla.apply_fill_rule(winding, rule)
     if static.aa == "centers":
         # binary sample coverage (the per-sample winding of fill_path_ms):
@@ -202,19 +210,21 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     }
     if want_src:
         # Paint evaluated in SORTED order (post-sort): only scalar metadata
-        # rides the permutation, never a (F, 4, NPX) tensor.
-        tx_s = tx[fidx_s]
-        ty_s = ty[fidx_s]
+        # rides the permutation, never a (F, 4, NPX) tensor — and all the
+        # per-path paint fields ride ONE packed row gather (row count, not
+        # width, is what a TPU gather costs).
+        txy_s = jnp.stack([tx, ty], axis=-1)[fidx_s]     # (F, 2)
+        prow = bufs["paint_pack"][tpath_s]               # (F, 40)
         src_s = fine_xla.eval_paints(
-            (tx_s * TILE_W).astype(jnp.float32),
-            (ty_s * TILE_H).astype(jnp.float32),
-            bufs["paint_kind"][tpath_s], bufs["color"][tpath_s],
-            bufs["grad_rec"][tpath_s], bufs["paint_inv"][tpath_s],
-            bufs["image_rec"][tpath_s], bufs["blur_rec"][tpath_s],
+            (txy_s[:, 0] * TILE_W).astype(jnp.float32),
+            (txy_s[:, 1] * TILE_H).astype(jnp.float32),
+            prow[:, 0].astype(jnp.int32), prow[:, 1:5],
+            prow[:, 5:17], prow[:, 17:23],
+            prow[:, 23:31], prow[:, 31:39],
             bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
         src_s = src_s * coverage_s[:, None, :]           # (F, 4, NPX)
         if keep_clip_paths:
-            is_clip_s = bufs["path_kind"][tpath_s] != 0
+            is_clip_s = prow[:, 39] != 0
             src_s = jnp.where(is_clip_s[:, None, None], 0.0, src_s)
         out["src_s"] = src_s           # premultiplied paint*coverage (F,4,P)
         out["alpha_s"] = src_s[:, 3, :]
