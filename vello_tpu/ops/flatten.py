@@ -219,6 +219,7 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
         "lines": mid.astype(jnp.float32),
         "line_path": jnp.where(alive, row_path, 2 ** 30).astype(jnp.int32),
         "line_valid": alive,
+        "line_real": valid,    # real (non-padding) slot, even if degenerate
         "edge_lines": edge_lines.astype(jnp.float32),
         "edge_path": jnp.where(evalid, erow[:, 2].astype(jnp.int32),
                                2 ** 30).astype(jnp.int32),

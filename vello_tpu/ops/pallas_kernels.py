@@ -159,6 +159,203 @@ def cumsum_pallas(x, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# Fused touch expansion (the path_count/path_tiling pair, one kernel)
+#
+# The XLA formulation needs two big sorts (expand_by_counts) plus a ~10ns/row
+# monotone gather of the per-line fields at touch scale (~4.5 ms/frame at the
+# mmark tier). Here each grid step DMAs the window of lines covering its
+# touch block (guaranteed <= BLK_X + 1 rows because every real line slot
+# emits >= 1 touch — dead lines emit one dump-tile dummy), recovers each
+# touch's line with one (B, W) compare + one-hot MXU select, and evaluates
+# the DDA staircase + tile clip in VMEM. Outputs feed the (ftile, tix) sort.
+
+BLK_X = 1024              # touches per grid step
+WIN_X = BLK_X + 256       # line-window rows per step (128-aligned start
+                          # + <=128 alignment slack + 1 spanning line)
+DUMP_TILE = 2 ** 30
+
+ONE_MINUS_ULP = 0.99999994
+ROBUST_EPS = 2e-7
+SEG_EPS = 1e-6
+
+
+def _expand_touch_kernel(s0_ref,        # prefetch (G+1,) i32: 128-aligned
+                                        # window starts, then the total
+                         lpackT_hbm,    # ANY (16, Lpad) f32 line fields
+                         pay_ref,       # out VMEM (8, B) f32
+                         win_ref, sem):
+    g = pl.program_id(0)
+    ntot = s0_ref[pl.num_programs(0)]
+    s0 = pl.multiple_of(s0_ref[g], 128)
+    cp = pltpu.make_async_copy(lpackT_hbm.at[:, pl.ds(s0, WIN_X)],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    w = win_ref[...]                                   # (16, W)
+    offs_w = w[5:6, :]
+    incl_w = w[6:7, :]
+    p = jax.lax.broadcasted_iota(jnp.int32, (BLK_X, 1), 0) + g * BLK_X
+    pf = p.astype(jnp.float32)                         # (B, 1)
+    oh = ((pf >= offs_w) & (pf < incl_w)).astype(jnp.float32)   # (B, W)
+    # one-hot row select on the MXU; products are field*1.0, exact in f32
+    r = jax.lax.dot_general(w, oh, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (16, B)
+
+    def f(k):
+        return r[k:k + 1, :]                           # (1, B)
+
+    qx0, qy0, qx1, qy1, down = f(0), f(1), f(2), f(3), f(4)
+    offs, live = f(5), f(7)
+    tx0, ty0, tx1, ty1, stride, base = (f(8), f(9), f(10), f(11), f(12),
+                                        f(13))
+    pfr = (jax.lax.broadcasted_iota(jnp.int32, (1, BLK_X), 1)
+           + g * BLK_X).astype(jnp.float32)            # (1, B) row iota
+    i = pfr - offs
+
+    # --- DDA staircase (same op order as tiling._dda_from_q) ---
+    sx0, sy0 = qx0 / TILE_W, qy0 / TILE_H
+    sx1, sy1 = qx1 / TILE_W, qy1 / TILE_H
+    span_x = jnp.maximum(jnp.ceil(jnp.maximum(sx0, sx1))
+                         - jnp.floor(jnp.minimum(sx0, sx1)), 1.0)
+    span_y = jnp.maximum(jnp.ceil(jnp.maximum(sy0, sy1))
+                         - jnp.floor(jnp.minimum(sy0, sy1)), 1.0)
+    count_x = span_x - 1.0
+    count = count_x + span_y
+    dx = jnp.abs(sx1 - sx0)
+    dy = sy1 - sy0
+    denom = dx + dy
+    zero_len = denom == 0.0
+    idxdy = 1.0 / jnp.where(zero_len, 1.0, denom)
+    a = dx * idxdy
+    pos_slope = sx1 >= sx0
+    sign_x = jnp.where(pos_slope, 1.0, -1.0)
+    xt0 = jnp.floor(sx0 * sign_x)
+    c = sx0 * sign_x - xt0
+    y0i = jnp.floor(sy0)
+    ytop = jnp.where(sy0 == sy1, jnp.ceil(sy0), y0i + 1.0)
+    b = jnp.minimum((dy * c + dx * (ytop - sy0)) * idxdy, ONE_MINUS_ULP)
+    err = jnp.floor(a * (count - 1.0) + b) - count_x
+    a = jnp.where(err != 0.0, a - ROBUST_EPS * jnp.sign(err), a)
+    x0i_f = xt0 * sign_x + jnp.where(pos_slope, 0.0, -1.0)
+
+    z = jnp.floor(a * i + b)
+    x = jnp.clip(x0i_f + sign_x * z, tx0, tx1 - 1.0)
+    y = jnp.clip(y0i + i - z, ty0, ty1 - 1.0)
+    ntotf = jax.lax.convert_element_type(ntot, jnp.float32)
+    tvalid = (pfr < ntotf) & (live > 0.0)
+    ftile_f = base + (y - ty0) * stride + (x - tx0)
+    # rides the payload as f32 (exact: tile ids < 2^24, DUMP = 2^30 exact)
+    ftile = jnp.where(tvalid, ftile_f, jnp.float32(DUMP_TILE))
+
+    # --- backdrop (top-edge crossing targets tile x+1) ---
+    z_prev = jnp.floor(a * (i - 1.0) + b)
+    # (select between f32, not i1 vectors — Mosaic can't truncate i8->i1)
+    top_edge = jnp.where(i == 0.0,
+                         (jnp.floor(sy0) == sy0).astype(jnp.float32),
+                         (z == z_prev).astype(jnp.float32)) > 0.0
+    delta = jnp.where(down > 0.0, -1.0, 1.0)
+    b_ok = tvalid & top_edge & (x + 1.0 < tx1)
+    backdrop_val = jnp.where(b_ok, delta, 0.0)
+
+    # --- clip the segment to the tile (same op order as make_touches) ---
+    tile_x = x * TILE_W
+    tile_y = y * TILE_H
+    tile_x1 = tile_x + TILE_W
+    tile_y1 = tile_y + TILE_H
+    dxl = qx1 - qx0
+    dyl = qy1 - qy0
+    inv_dyl = 1.0 / jnp.where(dyl == 0.0, 1.0, dyl)
+    inv_dxl = 1.0 / jnp.where(dxl == 0.0, 1.0, dxl)
+
+    z_same_prev = z == z_prev
+    xt_top = qx0 + dxl * (tile_y - qy0) * inv_dyl
+    xt_top = jnp.clip(xt_top, tile_x + 1e-3, tile_x1)
+    x_clip_e = jnp.where(pos_slope, tile_x, tile_x1)
+    yt_side = qy0 + dyl * (x_clip_e - qx0) * inv_dxl
+    yt_side = jnp.clip(yt_side, tile_y + 1e-3, tile_y1)
+    ex = jnp.where(z_same_prev, xt_top, x_clip_e)
+    ey = jnp.where(z_same_prev, tile_y, yt_side)
+    px0 = jnp.where(i > 0.0, ex, qx0)
+    py0 = jnp.where(i > 0.0, ey, qy0)
+
+    z_next = jnp.floor(a * (i + 1.0) + b)
+    z_same_next = z == z_next
+    xt_bot = qx0 + dxl * (tile_y1 - qy0) * inv_dyl
+    xt_bot = jnp.clip(xt_bot, tile_x + 1e-3, tile_x1)
+    x_clip_x = jnp.where(pos_slope, tile_x1, tile_x)
+    yt_side2 = qy0 + dyl * (x_clip_x - qx0) * inv_dxl
+    yt_side2 = jnp.clip(yt_side2, tile_y + 1e-3, tile_y1)
+    lx = jnp.where(z_same_next, xt_bot, x_clip_x)
+    ly = jnp.where(z_same_next, tile_y1, yt_side2)
+    last = i >= count - 1.0
+    px1 = jnp.where(last, qx1, lx)
+    py1 = jnp.where(last, qy1, ly)
+
+    p0x = px0 - tile_x
+    p0y = py0 - tile_y
+    p1x = px1 - tile_x
+    p1y = py1 - tile_y
+    y_edge = jnp.full_like(p0x, 1e9)
+    eps = SEG_EPS
+    both0 = (p0x == 0.0) & (p1x == 0.0)
+    entire = both0 & (p0y == 0.0)
+    vanish = both0 & (p0y != 0.0)
+    p0_only = (p0x == 0.0) & (p1x != 0.0)
+    y_edge = jnp.where(p0_only & (p0y != 0.0), p0y, y_edge)
+    y_edge = jnp.where((p1x == 0.0) & ~both0 & (p1y != 0.0), p1y, y_edge)
+    p0x = jnp.where(both0 | (p0_only & (p0y == 0.0)), eps, p0x)
+    p1x = jnp.where(entire, eps, jnp.where(vanish, 2 * eps, p1x))
+    p1y = jnp.where(entire, float(TILE_H), jnp.where(vanish, p0y, p1y))
+    p1x = jnp.where((p1x == 0.0) & (p1y == 0.0) & ~both0, eps, p1x)
+    on_grid0 = (p0x == jnp.floor(p0x)) & (p0x != 0.0)
+    on_grid1 = (p1x == jnp.floor(p1x)) & (p1x != 0.0)
+    p0x = jnp.where(on_grid0, p0x - eps, p0x)
+    p1x = jnp.where(on_grid1, p1x - eps, p1x)
+    is_down = down > 0.0
+    s0x = jnp.where(is_down, p0x, p1x)
+    s0y = jnp.where(is_down, p0y, p1y)
+    s1x = jnp.where(is_down, p1x, p0x)
+    s1y = jnp.where(is_down, p1y, p0y)
+
+    vmask = tvalid
+    zero = jnp.zeros_like(s0x)
+    pay = jnp.concatenate([
+        jnp.where(vmask, s0x, zero), jnp.where(vmask, s0y, zero),
+        jnp.where(vmask, s1x, zero), jnp.where(vmask, s1y, zero),
+        jnp.where(vmask, y_edge, jnp.full_like(y_edge, 1e9)),
+        backdrop_val, ftile, zero], axis=0)            # (8, B)
+    pay_ref[...] = pay
+
+
+def expand_touches_pallas(lpack, s0s, n_touch_cap, interpret=False):
+    """lpack (16, Lpad) f32 per-line fields (see tiling.make_touches),
+    s0s (G+1,) i32 128-aligned window starts + total. Returns (ftile (T,)
+    i32, payload (8, T) f32 rows [s0x,s0y,s1x,s1y,y_edge,backdrop,_,_])."""
+    assert n_touch_cap % BLK_X == 0, n_touch_cap
+    g = n_touch_cap // BLK_X
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((8, BLK_X), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((16, WIN_X), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    pay = pl.pallas_call(
+        _expand_touch_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, n_touch_cap), jnp.float32),
+        interpret=interpret,
+    )(s0s, lpack)
+    ftile = pay[6].astype(jnp.int32)
+    return ftile, pay
+
+
+# ---------------------------------------------------------------------------
 # Fused fine composite (solid-color fast path)
 #
 # Replaces the XLA fragment chain (paint eval -> src materialization ->

@@ -163,11 +163,16 @@ def rect_pack(rects):
                       rects["base"].astype(jnp.float32)], axis=-1)
 
 
-def make_touches(lines, line_path, rects, n_touch_cap, line_rect=None):
+def make_touches(lines, line_path, rects, n_touch_cap, line_rect=None,
+                 line_real=None, force_fused=None):
     """Expand lines into (line, tile) touch records.
 
     line_rect: optional (L, 6) per-line rect fields carried through the
     flatten expansion (saves an L-scale gather here).
+    line_real: optional (L,) bool marking real (non-padding) line slots;
+    when given and a TPU is attached, the fused Pallas expansion runs
+    (dead real lines then cost one dump-tile dummy touch each — covered by
+    the host estimator, whose per-line span bound is always >= 1).
 
     Returns per-touch: tile-local clipped segment (p0, p1, y_edge), flat
     tile id, backdrop delta, and validity.
@@ -184,8 +189,15 @@ def make_touches(lines, line_path, rects, n_touch_cap, line_rect=None):
     # falls outside the bbox — see path_count.wgsl xmin >= bbox.z).
     sx_min = jnp.minimum(lines[:, 0], lines[:, 2]) / TILE_W
     on_right = sx_min >= rrow[:, 2]
-    counts = jnp.where(valid_line & ~on_right & (rrow[:, 4] > 0),
-                       p["count"], 0.0).astype(jnp.int32)
+    live = valid_line & ~on_right & (rrow[:, 4] > 0)
+    counts = jnp.where(live, p["count"], 0.0).astype(jnp.int32)
+
+    from .pallas_kernels import BLK_X, use_pallas
+    fused_ok = line_real is not None and n_touch_cap % BLK_X == 0
+    if fused_ok and (use_pallas() if force_fused is None else force_fused):
+        return _make_touches_fused(p, live, line_real, counts, rrow,
+                                   n_touch_cap,
+                                   interpret=not use_pallas())
     offs = (jnp.cumsum(counts) - counts).astype(jnp.float32)
 
     qx0l, qy0l, qx1l, qy1l = p["q"]
@@ -311,6 +323,41 @@ def make_touches(lines, line_path, rects, n_touch_cap, line_rect=None):
         "backdrop_val": backdrop_val.astype(jnp.float32),
         "overflow": overflow,
     }
+
+
+def _make_touches_fused(p, live, line_real, counts, rrow, n_touch_cap,
+                        interpret=False):
+    """Fused Pallas touch expansion (see pallas_kernels.expand_touches_pallas).
+
+    Every real line slot emits >= 1 touch (dead ones one dump dummy), which
+    bounds the per-block line window and removes both expansion sorts and
+    the per-touch line-field gather."""
+    from .pallas_kernels import WIN_X, expand_touches_pallas, BLK_X
+
+    live = live & (p["count"] > 0)
+    counts = jnp.where(line_real, jnp.maximum(counts, 1), 0)
+    incl = jnp.cumsum(counts)
+    total = incl[-1]
+    overflow = (total > n_touch_cap).astype(jnp.int32)
+    offs = incl - counts
+    qx0, qy0, qx1, qy1 = p["q"]
+    zero = jnp.zeros_like(qx0)
+    lpack = jnp.stack([
+        qx0, qy0, qx1, qy1,
+        jnp.where(p["is_down"], 1.0, -1.0),
+        offs.astype(jnp.float32), incl.astype(jnp.float32),
+        live.astype(jnp.float32),
+        rrow[:, 0], rrow[:, 1], rrow[:, 2], rrow[:, 3], rrow[:, 4],
+        rrow[:, 5], zero, zero], axis=0)             # (16, L)
+    lpack = jnp.pad(lpack, ((0, 0), (0, WIN_X)))
+    g = n_touch_cap // BLK_X
+    qpos = jnp.arange(g, dtype=jnp.int32) * BLK_X
+    s0 = jnp.searchsorted(incl, qpos, side="right").astype(jnp.int32)
+    s0s = jnp.concatenate([(s0 // 128) * 128,        # DMA-aligned starts
+                           total[None].astype(jnp.int32)])
+    ftile, pay = expand_touches_pallas(lpack, s0s, n_touch_cap,
+                                       interpret=interpret)
+    return {"ftile": ftile, "pay": pay, "overflow": overflow}
 
 
 def backdrop_prefix(backdrop_idx, backdrop_val, rects, n_tile_cap):

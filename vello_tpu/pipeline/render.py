@@ -94,17 +94,21 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
     lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
 
+    lreal = jnp.concatenate([fl["line_real"], fl["edge_valid"]], axis=0)
     touches = tiling.make_touches(lines, lpath, rects, caps.n_touches,
-                                  line_rect=lrect)
+                                  line_rect=lrect, line_real=lreal)
 
     # --- sort touches by flat tile (the "coarse" sort) ---
     # Sort only (key, index) — every payload operand rides ALL ~18 merge
     # passes of the sort network, while a packed ROW gather fetches the 6
     # per-touch fields in one pass afterwards (device trace: the 7-operand
     # sort was 8.3 ms/frame; 2-operand sort + row gather is ~3.5 ms).
-    tpack = jnp.concatenate(
-        [touches["seg"], touches["y_edge"][:, None],
-         touches["backdrop_val"][:, None]], axis=-1)          # (T, 6)
+    if "pay" in touches:
+        tpack = touches["pay"].T                              # (T, 8)
+    else:
+        tpack = jnp.concatenate(
+            [touches["seg"], touches["y_edge"][:, None],
+             touches["backdrop_val"][:, None]], axis=-1)      # (T, 6)
     tix = jnp.arange(tpack.shape[0], dtype=jnp.int32)
     ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
     trow = tpack[tix_s]
