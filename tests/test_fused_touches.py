@@ -74,6 +74,49 @@ def _sorted(rows):
     return rows[np.lexsort(rows.T[::-1])]
 
 
+def test_fused_flatten_geometry_matches_xla():
+    """flatten_fused + make_touches_from_linepack (interpret mode) produce
+    the same live-touch multiset as the XLA flatten + make_touches chain."""
+    scene = Scene()
+    scene.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+               circle_path(40, 40, 30))
+    scene.fill(Fill.EVEN_ODD, Affine.translate(20, 60), palette.BLUE, None,
+               star_path(30, 30, 5, 25, 10))
+    scene.fill(Fill.NON_ZERO, Affine.identity(), palette.GREEN, None,
+               circle_path(-20, 64, 30))
+    size = 128
+    params = RenderParams(size, size, base_color=(0, 0, 0, 1))
+    rs = resolve(scene.encoding, params)
+    caps = rs.capacities(params)
+    bufs = {k: jnp.asarray(np.asarray(v))
+            for k, v in pack_buffers(rs, caps, params).items()}
+    wt = (size + TILE_W - 1) // TILE_W + 1
+    ht = (size + TILE_H - 1) // TILE_H
+    rects = tiling.tile_alloc(bufs["path_rect"], wt, ht)
+    from vello_tpu.ops.pallas_kernels import BLK_F, BLK_X
+    n_lines = BLK_F
+    n_touch = BLK_X
+    ff = flatten_ops.flatten_fused(
+        bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
+        bufs["seg_path"], bufs["n_segs"], n_lines,
+        float(wt * TILE_W), float(size), tiling.rect_pack(rects),
+        interpret=True)
+    assert int(ff["overflow"]) == 0
+    b = tiling.make_touches_from_linepack(
+        ff["linepack"], ff["total_lines"], n_touch, 256, interpret=True)
+    assert int(b["overflow"]) == 0
+
+    lines, lpath, rects2, lrect, lreal = _touch_rows(scene, size)
+    a = tiling.make_touches(lines, lpath, rects2, n_touch,
+                            line_rect=lrect, line_real=None)
+    ra = _sorted(_live_rows_xla(a))
+    rb = _sorted(_live_rows_fused(b))
+    assert ra.shape == rb.shape
+    assert np.array_equal(ra[:, 0], rb[:, 0])
+    assert np.array_equal(ra[:, 6], rb[:, 6])
+    np.testing.assert_allclose(ra[:, 1:6], rb[:, 1:6], rtol=2e-6, atol=1e-5)
+
+
 def test_fused_touch_expansion_bit_exact():
     scene = Scene()
     scene.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,

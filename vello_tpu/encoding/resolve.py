@@ -68,9 +68,17 @@ class ResolvedScene:
     blur_rec: np.ndarray      # (P, 8) f32: x0,y0,x1,y1, radius, std_dev
     path_kind: np.ndarray     # (P,) i32: 0 draw, 1 clip-begin
     path_rect: np.ndarray     # (P, 4) i32 clamped tile-space bbox (host hull)
+    # compacted per-segment arrays (host decode; lets the fused device
+    # flatten skip the tag scan and keeps real segments contiguous so the
+    # Pallas window bound holds — the tag streams above remain the
+    # interchange format and drive the XLA fallback path)
+    seg_pts: np.ndarray = None    # (S, 4, 2) f32 raw control points
+    seg_tmat: np.ndarray = None   # (S, 6) f32 active transform
+    seg_path: np.ndarray = None   # (S,) i32 owning path
+    seg_kind: np.ndarray = None   # (S,) i32 1=line 2=quad 3=cubic
     # resources
-    ramps: np.ndarray         # (R, 512, 4) straight f32
-    atlas: np.ndarray         # (Ha, Wa, 4) premultiplied f32
+    ramps: np.ndarray = None      # (R, 512, 4) straight f32
+    atlas: np.ndarray = None      # (Ha, Wa, 4) premultiplied f32
     # estimator results
     est_lines: int = 0
     est_touches: int = 0
@@ -403,6 +411,10 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         paint_kind=paint_kind, fill_rule=fill_rule, color=color,
         grad_rec=grad_rec, paint_inv=paint_inv, image_rec=image_rec,
         blur_rec=blur_rec, path_kind=path_kind, path_rect=path_rect,
+        seg_pts=decoded["points"].astype(np.float32),
+        seg_tmat=decoded["transform"].astype(np.float32),
+        seg_path=decoded["path_ix"].astype(np.int32),
+        seg_kind=decoded["kind"].astype(np.int32),
         ramps=ramp_cache.array(), atlas=atlas.array(),
         est_lines=est_lines, est_touches=est_touches,
         est_path_tiles=est_path_tiles, est_live=est_live)

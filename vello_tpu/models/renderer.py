@@ -89,6 +89,14 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         "path_kind": _pad(rs.path_kind, caps.n_paths),
         "path_rect": _pad(rs.path_rect, caps.n_paths),
         "paint_pack": _pad(paint_pack, caps.n_paths),
+        # compacted segment arrays for the fused flatten (tag streams above
+        # drive the XLA fallback; real segments are contiguous here)
+        "seg_pts": _pad(rs.seg_pts, caps.n_segs),
+        "seg_tmat": _pad(rs.seg_tmat, caps.n_segs),
+        "seg_path": _pad(rs.seg_path, caps.n_segs, fill=2 ** 24),
+        "seg_kind": _pad(rs.seg_kind, caps.n_segs),
+        "n_segs": np.asarray(min(len(rs.seg_kind), caps.n_segs),
+                             dtype=np.int32),
         "ramps": rs.ramps,
         "atlas": rs.atlas,
         "base_color": np.asarray(params.base_color, dtype=np.float32),

@@ -91,6 +91,52 @@ def expand_by_counts(counts, out_size):
     return idx, sub, valid, total
 
 
+def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
+                  n_lines_cap: int, width: float, height: float, rpack,
+                  interpret: bool = False):
+    """Fused Pallas flatten over host-compacted segment arrays.
+
+    Transform + Wang counts run at segment scale in XLA; the kernel does the
+    expansion, cubic eval, viewport trim/clamp, edge-vertical detection and
+    DDA touch counts in VMEM (see pallas_kernels._flatten_kernel). Returns
+    {"linepack" (16, L), "total_lines", "overflow"}."""
+    from .pallas_kernels import BLK_F, WIN_F, flatten_pallas
+
+    t = seg_tmat
+    x = (seg_pts[..., 0] * t[:, None, 0] + seg_pts[..., 1] * t[:, None, 2]
+         + t[:, None, 4])
+    y = (seg_pts[..., 0] * t[:, None, 1] + seg_pts[..., 1] * t[:, None, 3]
+         + t[:, None, 5])
+    tp = jnp.stack([x, y], axis=-1)
+    cub = elevate_to_cubic(tp, seg_kind)
+    counts = wang_counts(cub, seg_kind)
+    s = cub.shape[0]
+    counts = jnp.where(jnp.arange(s, dtype=jnp.int32) < n_segs, counts, 0)
+    incl = jnp.cumsum(counts)
+    total = incl[-1]
+    overflow = (total > n_lines_cap).astype(jnp.int32)
+    offs = incl - counts
+    pclip = jnp.clip(seg_path, 0, rpack.shape[0] - 1)
+    rrow = rpack[pclip]                                   # (S, 6)
+    spackT = jnp.concatenate([
+        cub.reshape(s, 8).T,
+        counts.astype(jnp.float32)[None],
+        offs.astype(jnp.float32)[None],
+        incl.astype(jnp.float32)[None],
+        rrow.T,
+        jnp.zeros((7, s), jnp.float32)], axis=0)          # (24, S)
+    spackT = jnp.pad(spackT, ((0, 0), (0, WIN_F)))
+    g = n_lines_cap // BLK_F
+    qpos = jnp.arange(g, dtype=jnp.int32) * BLK_F
+    s0 = jnp.searchsorted(incl, qpos, side="right").astype(jnp.int32)
+    s0s = jnp.concatenate([(s0 // 128) * 128,
+                           total[None].astype(jnp.int32)])
+    linepack = flatten_pallas(spackT, s0s, n_lines_cap, width, height,
+                              interpret=interpret)
+    return {"linepack": linepack, "total_lines": total,
+            "overflow": overflow}
+
+
 def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
             width: float, height: float, rpack=None):
     """decoded: output of pathtag.decode_and_transform.

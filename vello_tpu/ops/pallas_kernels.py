@@ -159,6 +159,174 @@ def cumsum_pallas(x, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# Fused flatten (curves -> line soup, one kernel)
+#
+# Replaces the XLA chain (expand sorts + packed row gather + cubic eval +
+# y-trim + x-clamp fusions, ~6 ms/frame at the mmark tier) with the same
+# window/one-hot pattern as the touch expansion below: segments are
+# host-compacted (every real slot emits >= 1 line via Wang's bound), so the
+# per-block segment window is bounded; each line evaluates its cubic at
+# uniform t, trims/clamps to the viewport, detects left-edge verticals, and
+# emits the (16, L) line pack the touch expansion consumes.
+# Mirrors flatten.wgsl's role (reference vello_shaders/shader/flatten.wgsl)
+# in the TPU formulation of ops/flatten.py.
+
+BLK_F = 1024              # lines per grid step
+WIN_F = BLK_F + 256       # segment-window rows (128-aligned start + slack)
+
+_EDGE_EPS = 1.0 / 64.0
+
+
+def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
+                    spackT_hbm,    # ANY (24, Spad) f32 segment fields
+                    out_ref,       # out VMEM (16, B) f32 line pack
+                    win_ref, sem, *, width, height):
+    g = pl.program_id(0)
+    ntot = s0_ref[pl.num_programs(0)]
+    s0 = pl.multiple_of(s0_ref[g], 128)
+    cp = pltpu.make_async_copy(spackT_hbm.at[:, pl.ds(s0, WIN_F)],
+                               win_ref, sem)
+    cp.start()
+    cp.wait()
+    w = win_ref[...]                                   # (24, W)
+    offs_w = w[9:10, :]
+    incl_w = w[10:11, :]
+    p = jax.lax.broadcasted_iota(jnp.int32, (BLK_F, 1), 0) + g * BLK_F
+    pf = p.astype(jnp.float32)                         # (B, 1)
+    oh = ((pf >= offs_w) & (pf < incl_w)).astype(jnp.float32)   # (B, W)
+    r = jax.lax.dot_general(w, oh, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (24, B)
+
+    def f(k):
+        return r[k:k + 1, :]
+
+    c0x, c0y, c1x, c1y = f(0), f(1), f(2), f(3)
+    c2x, c2y, c3x, c3y = f(4), f(5), f(6), f(7)
+    n = jnp.maximum(f(8), 1.0)
+    offs = f(9)
+    rect = r[11:17, :]
+    pfr = (jax.lax.broadcasted_iota(jnp.int32, (1, BLK_F), 1)
+           + g * BLK_F).astype(jnp.float32)
+    sub = pfr - offs
+    t0 = sub / n
+    t1 = (sub + 1.0) / n
+
+    def ev(t, ca, cb, cc, cd):
+        mt = 1.0 - t
+        return (mt ** 3 * ca + 3 * mt * mt * t * cb
+                + 3 * mt * t * t * cc + t ** 3 * cd)
+
+    p0x = ev(t0, c0x, c1x, c2x, c3x)
+    p0y = ev(t0, c0y, c1y, c2y, c3y)
+    p1x = ev(t1, c0x, c1x, c2x, c3x)
+    p1y = ev(t1, c0y, c1y, c2y, c3y)
+
+    # --- y trim (parametric, exact; same op order as ops/flatten.py) ---
+    y0, y1 = p0y, p1y
+    dy = y1 - y0
+    y0c = jnp.clip(y0, 0.0, height)
+    y1c = jnp.clip(y1, 0.0, height)
+    nzy = jnp.abs(dy) > 1e-12
+    inv_dy = jnp.where(nzy, 1.0 / jnp.where(nzy, dy, 1.0), 0.0)
+    ta = jnp.where(nzy, (y0c - y0) * inv_dy, 0.0)
+    tb = jnp.where(nzy, (y1c - y0) * inv_dy, 1.0)
+    x0 = jnp.where(y0c != y0, p0x + ta * (p1x - p0x), p0x)
+    x1 = jnp.where(y1c != y1, p0x + tb * (p1x - p0x), p1x)
+    y0, y1 = y0c, y1c
+    ntotf = jax.lax.convert_element_type(ntot, jnp.float32)
+    real = pfr < ntotf
+    alive = real & (jnp.abs(y1 - y0) + jnp.abs(x1 - x0) > 1e-12)
+
+    # --- x clamp + left-edge verticals ---
+    lo = _EDGE_EPS
+    hi = max(width - _EDGE_EPS, lo + 1e-3)
+    x0c = jnp.clip(x0, lo, hi)
+    x1c = jnp.clip(x1, lo, hi)
+    dx = x1 - x0
+    nzx = jnp.abs(dx) > 1e-12
+    inv_dx = jnp.where(nzx, 1.0 / jnp.where(nzx, dx, 1.0), 0.0)
+    u0 = jnp.where(nzx, jnp.clip((x0c - x0) * inv_dx, 0.0, 1.0), 0.0)
+    u1 = jnp.where(nzx, jnp.clip((x1c - x0) * inv_dx, 0.0, 1.0), 1.0)
+    ye0 = y0 + u0 * (y1 - y0)
+    ye1 = y0 + u1 * (y1 - y0)
+    left_all = jnp.maximum(x0, x1) <= lo
+    right_all = jnp.minimum(x0, x1) >= hi
+    outside = left_all | right_all
+    my0 = jnp.where(outside | (x0c == x0), y0, ye0)
+    my1 = jnp.where(outside | (x1c == x1), y1, ye1)
+    crossing = alive & nzx & (jnp.minimum(x0, x1) < lo) \
+        & (jnp.maximum(x0, x1) > lo)
+    need_start = crossing & (x0 < x1)
+    ev_y0 = jnp.where(need_start, y0, ye1)
+    ev_y1 = jnp.where(need_start, ye0, y1)
+
+    # --- orientation + DDA touch count on the mid line ---
+    lx0, ly0, lx1, ly1 = x0c, my0, x1c, my1
+    is_down = ly1 >= ly0
+    qx0 = jnp.where(is_down, lx0, lx1)
+    qy0 = jnp.where(is_down, ly0, ly1)
+    qx1 = jnp.where(is_down, lx1, lx0)
+    qy1 = jnp.where(is_down, ly1, ly0)
+    sx0, sy0 = qx0 / TILE_W, qy0 / TILE_H
+    sx1, sy1 = qx1 / TILE_W, qy1 / TILE_H
+    span_x = jnp.maximum(jnp.ceil(jnp.maximum(sx0, sx1))
+                         - jnp.floor(jnp.minimum(sx0, sx1)), 1.0)
+    span_y = jnp.maximum(jnp.ceil(jnp.maximum(sy0, sy1))
+                         - jnp.floor(jnp.minimum(sy0, sy1)), 1.0)
+    count = span_x - 1.0 + span_y
+    dxs = jnp.abs(sx1 - sx0)
+    dys = sy1 - sy0
+    dead = ((dxs + dys) == 0.0) \
+        | ((dys == 0.0) & (jnp.floor(sy0) == sy0))
+    count = jnp.where(dead, 0.0, count)
+    tx1 = rect[2:3, :]
+    stride = rect[4:5, :]
+    sx_min = jnp.minimum(lx0, lx1) / TILE_W
+    on_right = sx_min >= tx1
+    live = alive & ~on_right & (stride > 0.0) & (count > 0.0)
+    tcount = jnp.where(live, count, 0.0)
+
+    out = jnp.concatenate([
+        qx0, qy0, qx1, qy1,
+        jnp.where(is_down, 1.0, -1.0),
+        tcount,
+        live.astype(jnp.float32),
+        crossing.astype(jnp.float32),
+        ev_y0, ev_y1,
+        rect], axis=0)                                 # (16, B)
+    out_ref[...] = out
+
+
+def flatten_pallas(spackT, s0s, n_lines_cap, width, height, interpret=False):
+    """spackT (24, Spad) f32 segment fields [8 cubic coords, n, offs, incl,
+    rect6, pad]; s0s (G+1,) i32 aligned window starts + total. Returns the
+    (16, L) line pack [qx0,qy0,qx1,qy1,down,tcount,live,needs_edge,ev_y0,
+    ev_y1,rect6]."""
+    assert n_lines_cap % BLK_F == 0, n_lines_cap
+    g = n_lines_cap // BLK_F
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((16, BLK_F), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((24, WIN_F), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kern = functools.partial(_flatten_kernel, width=float(width),
+                             height=float(height))
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((16, n_lines_cap), jnp.float32),
+        interpret=interpret,
+    )(s0s, spackT)
+
+
+# ---------------------------------------------------------------------------
 # Fused touch expansion (the path_count/path_tiling pair, one kernel)
 #
 # The XLA formulation needs two big sorts (expand_by_counts) plus a ~10ns/row

@@ -360,6 +360,67 @@ def _make_touches_fused(p, live, line_real, counts, rrow, n_touch_cap,
     return {"ftile": ftile, "pay": pay, "overflow": overflow}
 
 
+def make_touches_from_linepack(linepack, total_lines, n_touch_cap,
+                               n_edge_cap, interpret=False):
+    """Touch expansion from the fused flatten's (16, L) line pack.
+
+    Edge verticals (left-viewport-boundary winding carriers) expand in XLA
+    (E is n_lines/4 and usually nearly empty); mid lines come straight from
+    the pack. Both feed the fused Pallas touch expansion."""
+    from .flatten import _EDGE_EPS, expand_by_counts
+    from .pallas_kernels import WIN_X, BLK_X, expand_touches_pallas
+
+    lnum = linepack.shape[1]
+    # --- edge verticals ---
+    ecounts = linepack[7].astype(jnp.int32)
+    eix, _, evalid, etotal = expand_by_counts(ecounts, n_edge_cap)
+    overflow_edges = (etotal > n_edge_cap).astype(jnp.int32)
+    esrc = linepack[8:16].T                               # (L, 8)
+    erow = esrc[eix]
+    ey0, ey1 = erow[:, 0], erow[:, 1]
+    erect = erow[:, 2:8]
+    lof = jnp.full_like(ey0, _EDGE_EPS)
+    e_lines = jnp.stack([lof, ey0, lof, ey1], axis=-1)
+    pe = _dda_params(e_lines)
+    e_on_right = (_EDGE_EPS / TILE_W) >= erect[:, 2]
+    e_live = evalid & ~e_on_right & (erect[:, 4] > 0) & (pe["count"] > 0)
+    etcount = jnp.where(e_live, pe["count"], 0.0)
+    eqx0, eqy0, eqx1, eqy1 = pe["q"]
+
+    # --- concatenated touch counts (dead real slots emit 1 dump dummy) ---
+    real_line = jnp.arange(lnum, dtype=jnp.int32) < total_lines
+    tc_l = jnp.where(real_line, jnp.maximum(linepack[5], 1.0), 0.0)
+    tc_e = jnp.where(evalid, jnp.maximum(etcount, 1.0), 0.0)
+    tcounts = jnp.concatenate([tc_l, tc_e]).astype(jnp.int32)
+    incl = jnp.cumsum(tcounts)
+    total = incl[-1]
+    overflow = (total > n_touch_cap).astype(jnp.int32)
+    offs = (incl - tcounts).astype(jnp.float32)
+
+    qrows = jnp.concatenate([
+        linepack[0:5],
+        jnp.stack([eqx0, eqy0, eqx1, eqy1,
+                   jnp.where(pe["is_down"], 1.0, -1.0)], axis=0),
+    ], axis=1)                                            # (5, L+E)
+    liverow = jnp.concatenate([linepack[6],
+                               e_live.astype(jnp.float32)])[None]
+    rectrows = jnp.concatenate([linepack[10:16], erect.T], axis=1)
+    n_all = qrows.shape[1]
+    lpack = jnp.concatenate([
+        qrows, offs[None], incl.astype(jnp.float32)[None], liverow,
+        rectrows, jnp.zeros((2, n_all), jnp.float32)], axis=0)  # (16, L+E)
+    lpack = jnp.pad(lpack, ((0, 0), (0, WIN_X)))
+    g = n_touch_cap // BLK_X
+    qpos = jnp.arange(g, dtype=jnp.int32) * BLK_X
+    s0 = jnp.searchsorted(incl, qpos, side="right").astype(jnp.int32)
+    s0s = jnp.concatenate([(s0 // 128) * 128,
+                           total[None].astype(jnp.int32)])
+    ftile, pay = expand_touches_pallas(lpack, s0s, n_touch_cap,
+                                       interpret=interpret)
+    return {"ftile": ftile, "pay": pay,
+            "overflow": overflow, "overflow_edges": overflow_edges}
+
+
 def backdrop_prefix(backdrop_idx, backdrop_val, rects, n_tile_cap):
     """Accumulate backdrop deltas and prefix-sum along each tile row.
 

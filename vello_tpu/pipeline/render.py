@@ -71,32 +71,52 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     WT_alloc = WT + 1
     W = float(WT_alloc * TILE_W)
 
-    decoded = pathtag.decode_and_transform(
-        bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
-        data4=bufs.get("data4"))
-
-    if geom_axis is not None:
-        # Slice the per-tag-slot arrays to this member's segment shard (the
-        # tag scan itself is global and cheap; padding tags are inert).
-        k = jax.lax.axis_index(geom_axis)
-        chunk = caps.n_tags // geom_shards
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * chunk, chunk, 0)
-        decoded = {key: sl(v) for key, v in decoded.items()}
-
     rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
                       ).astype(jnp.int32)
-
     n_edge = max(caps.n_lines // 4, 256)
-    fl = flatten_ops.flatten(decoded, caps.n_lines, n_edge, W, H,
-                             rpack=tiling.rect_pack(rects))
-    lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
-    lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
-    lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
 
-    lreal = jnp.concatenate([fl["line_real"], fl["edge_valid"]], axis=0)
-    touches = tiling.make_touches(lines, lpath, rects, caps.n_touches,
-                                  line_rect=lrect, line_real=lreal)
+    import os as _os
+
+    from ..ops.pallas_kernels import BLK_F, BLK_X, use_pallas
+    fused_geom = (use_pallas() and geom_axis is None
+                  and "seg_pts" in bufs
+                  and caps.n_lines % BLK_F == 0
+                  and caps.n_touches % BLK_X == 0
+                  and not _os.environ.get("VELLO_TPU_NO_FUSED_GEOM"))
+    if fused_geom:
+        # Fused Pallas geometry: host-compacted segments -> line pack ->
+        # touches, no expansion sorts and no per-element row gathers.
+        ff = flatten_ops.flatten_fused(
+            bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
+            bufs["seg_path"], bufs["n_segs"], caps.n_lines, W, H,
+            tiling.rect_pack(rects))
+        touches = tiling.make_touches_from_linepack(
+            ff["linepack"], ff["total_lines"], caps.n_touches, n_edge)
+        geom_overflow = ff["overflow"] + 2 * touches["overflow_edges"]
+    else:
+        decoded = pathtag.decode_and_transform(
+            bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
+            data4=bufs.get("data4"))
+
+        if geom_axis is not None:
+            # Slice the per-tag-slot arrays to this member's segment shard
+            # (the tag scan itself is global and cheap; padding is inert).
+            k = jax.lax.axis_index(geom_axis)
+            chunk = caps.n_tags // geom_shards
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * chunk,
+                                                        chunk, 0)
+            decoded = {key: sl(v) for key, v in decoded.items()}
+
+        fl = flatten_ops.flatten(decoded, caps.n_lines, n_edge, W, H,
+                                 rpack=tiling.rect_pack(rects))
+        lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
+        lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
+        lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
+        lreal = jnp.concatenate([fl["line_real"], fl["edge_valid"]], axis=0)
+        touches = tiling.make_touches(lines, lpath, rects, caps.n_touches,
+                                      line_rect=lrect, line_real=lreal)
+        geom_overflow = fl["overflow"]
 
     # --- sort touches by flat tile (the "coarse" sort) ---
     # Sort only (key, index) — every payload operand rides ALL ~18 merge
@@ -201,7 +221,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         tpath_s = tpath_s[:static.n_live]
         fidx_s = fidx_s[:static.n_live]
     coverage_s = coverage[fidx_s]      # 1 KB rows — 4x cheaper than src rows
-    overflow = fl["overflow"] + 4 * touches["overflow"] \
+    overflow = geom_overflow + 4 * touches["overflow"] \
         + 8 * overflow_tiles + overflow_live
     out = {
         "g_s": g_s,                    # sorted local gtile per fragment
