@@ -183,27 +183,60 @@ def test_overflow_retry():
 
 
 def test_msaa_modes_fix_conflation():
-    """Two shapes sharing an edge: area AA leaves a seam against the base;
-    the msaa16 (supersampled) mode composites per sample and must not
-    (reference: conflation_artifacts scene + fill_path_ms)."""
+    """Abutting subpaths of ONE path share an edge: area AA conflates the
+    two fractional coverages into a seam; sample-mask msaa16 accumulates
+    per-sample winding across the whole path, so the seam vanishes
+    (reference: conflation_artifacts scene + fine.wgsl fill_path_ms;
+    cross-path compositing stays per-pixel alpha, as in the reference)."""
+    # two triangles sharing the diagonal with OPPOSING windings (the
+    # reference conflation_artifacts case, test_scenes.rs:1456): area AA
+    # sums the signed fractional coverages (|2q-1| < 1 on the diagonal);
+    # per-sample winding is +-1 at every sample, so msaa is solid.
+    n = 48.0
+    both = BezPath()
+    both.move_to(8.5, 8.5).line_to(8.5 + n, 8.5 + n).line_to(8.5, 8.5 + n) \
+        .close()
+    both.move_to(8.5, 8.5).line_to(8.5 + n, 8.5 + n).line_to(8.5 + n, 8.5) \
+        .close()
     s = Scene()
-    # two abutting rects covering [8,56] with a shared edge at x=32.3
-    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
-           rect_path(8, 8, 32.3, 56))
-    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
-           rect_path(32.3, 8, 56, 56))
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None, both)
     area = Renderer().render(s, PARAMS)
     msaa = Renderer().render(
         s, RenderParams(64, 64, base_color=(0, 0, 0, 1),
                         antialiasing="msaa16"))
-    # area-AA: seam pixel is visibly darker than 1.0; msaa16: solid white
-    assert area[30, 32, 0] < 0.99
-    assert msaa[30, 32, 0] > 0.995
-    # oracle agrees with device in msaa mode
-    o = OracleRenderer().render(
-        s, RenderParams(64, 64, base_color=(0, 0, 0, 1),
+    # area-AA conflates the shared diagonal; msaa16 must not
+    assert area[30, 30, 0] < 0.99
+    assert msaa[30, 30, 0] > 0.995
+    # interior away from the diagonal is solid in both
+    assert float(area[40, 20, 0]) == 1.0 and float(msaa[40, 20, 0]) == 1.0
+
+    # against the supersampling oracle on a smooth shape (both are valid
+    # per-sample methods there; only sample positions differ at edges —
+    # note the oracle itself conflates opposing windings at subsample
+    # level, so the triangles above are exactly where it must NOT be used)
+    c = Scene()
+    c.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
+           circle_path(32, 32, 22))
+    mc = Renderer().render(
+        c, RenderParams(64, 64, base_color=(0, 0, 0, 1),
                         antialiasing="msaa16"))
-    assert np.abs(o - msaa).mean() < 5e-4
+    oc = OracleRenderer().render(
+        c, RenderParams(64, 64, base_color=(0, 0, 0, 1),
+                        antialiasing="msaa16"))
+    assert np.abs(oc - mc).mean() < 3e-3
+    # tangent pixels: 16 distinct D3D y-levels vs the grid's 4 -> up to
+    # ~4/16 per-pixel at horizontal/vertical tangents
+    assert np.abs(oc - mc).max() <= 0.3
+
+    # a vertical edge at x.3: coverage = #(D3D16 sample x < .3)/16 = 5/16
+    one = Scene()
+    one.fill(Fill.NON_ZERO, Affine.identity(), palette.WHITE, None,
+             rect_path(8, 8, 32.3, 56))
+    m1 = Renderer().render(
+        one, RenderParams(64, 64, base_color=(0, 0, 0, 1),
+                          antialiasing="msaa16"))
+    assert abs(float(m1[30, 32, 0]) - 5.0 / 16.0) < 1e-5
+    assert float(m1[30, 20, 0]) == 1.0
 
 
 def test_image_quality_modes():

@@ -120,8 +120,18 @@ class Renderer:
         role, lib.rs:399-404): render once and discard."""
         self.render(scene, params)
 
+    def _use_supersample(self, params: RenderParams) -> bool:
+        """msaa8/msaa16 run through the sample-mask pipeline (per-sample
+        winding against the D3D standard patterns, fine.wgsl fill_path_ms
+        role); VELLO_TPU_SUPERSAMPLE_MSAA=1 selects the k*k supersampling
+        fallback instead. 'centers' is the supersample helper mode and
+        renders directly."""
+        import os
+        return (params.antialiasing in ("msaa8", "msaa16")
+                and bool(os.environ.get("VELLO_TPU_SUPERSAMPLE_MSAA")))
+
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
-        if params.antialiasing != "area":
+        if self._use_supersample(params):
             return self._render_supersampled(scene, params)
         rs = resolve(scene.encoding, params)
         return self.render_resolved(rs, params)
@@ -132,7 +142,7 @@ class Renderer:
         (vello/src/lib.rs render_to_texture target). 4x less readback than
         the premultiplied f32 API, which dominates frame latency on a
         tunneled device (~16 MB -> 4 MB at 1024^2)."""
-        if params.antialiasing != "area":
+        if self._use_supersample(params):
             img = self._render_supersampled(scene, params)
             from ..utils.png import to_rgba8
             return to_rgba8(img)

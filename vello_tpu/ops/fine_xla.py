@@ -74,6 +74,71 @@ def coverage_delta(seg, y_edge):
     return area
 
 
+# D3D11 standard sample patterns (the reference builds its half-plane mask
+# LUTs from these positions, vello_encoding/src/mask.rs:11,58); sample i
+# sits at ((pat[i]+0.5)/n, (i+0.5)/n) within the pixel.
+MSAA8_PATTERN = (0, 5, 3, 7, 1, 4, 6, 2)
+MSAA16_PATTERN = (1, 8, 4, 11, 15, 7, 3, 12, 0, 9, 5, 13, 2, 10, 6, 14)
+
+
+def sample_offsets(ns: int):
+    pat = MSAA8_PATTERN if ns == 8 else MSAA16_PATTERN
+    return [((pat[i] + 0.5) / ns, (i + 0.5) / ns) for i in range(ns)]
+
+
+def coverage_delta_msaa(seg, y_edge, ns: int):
+    """Per-SAMPLE winding deltas of tile-local segments (the sample-mask
+    formulation of fine.wgsl fill_path_ms, reference fine.wgsl:146-511).
+
+    Winding at a sample = signed count of segments crossing the leftward
+    ray (crossing x < sample x, y-range half-open [ymin, ymax)), plus the
+    left-edge y_edge correction — the point-sampled limit of the exact-area
+    formula in coverage_delta, so backdrop deltas compose identically.
+
+    seg (N, 4), y_edge (N,) -> (N, ns*256) f32; column s*256+px is sample
+    s of pixel px.
+    """
+    px, py = _pixel_iota()
+    x0 = seg[:, 0][:, None]
+    y0 = seg[:, 1][:, None]
+    x1 = seg[:, 2][:, None]
+    y1 = seg[:, 3][:, None]
+    dx = x1 - x0
+    dy = y1 - y0
+    ymin = jnp.minimum(y0, y1)
+    ymax = jnp.maximum(y0, y1)
+    inv_dy = 1.0 / jnp.where(dy == 0.0, 1.0, dy)
+    sgn = jnp.where(dy > 0.0, -1.0, 1.0)
+    sgn_dx = jnp.sign(dx)
+    ye = y_edge[:, None]
+    outs = []
+    for ox, oy in sample_offsets(ns):
+        sx = px + ox
+        sy = py + oy
+        crossing = (sy >= ymin) & (sy < ymax)
+        t = (sy - y0) * inv_dy
+        xt = x0 + t * dx
+        d = jnp.where(crossing & (xt < sx), sgn, 0.0)
+        d = d + jnp.where(sy >= ye, sgn_dx, 0.0)
+        outs.append(d)
+    return jnp.concatenate(outs, axis=1)
+
+
+def msaa_coverage_xla(seg_s, yedge_s, starts, backdrop, rule, ns: int):
+    """Reference (XLA) sample-mask MSAA coverage: per-sample winding sums
+    per fragment, fill rule per sample, box resolve. Materializes
+    (T, ns*256) — fine for CPU/tests; the TPU path uses the fused Pallas
+    kernel instead."""
+    from .segmented import segment_sum_from_starts
+    deltas = coverage_delta_msaa(seg_s, yedge_s, ns)
+    sums = segment_sum_from_starts(deltas, starts)       # (F, ns*256)
+    f = sums.shape[0]
+    w = sums.reshape(f, ns, NPX) + backdrop[:, None, None]
+    cov = apply_fill_rule(w.reshape(f * ns, NPX),
+                          jnp.repeat(rule, ns, axis=0)).reshape(f, ns, NPX)
+    return cov.mean(axis=1)
+
+
 def apply_fill_rule(winding, rule):
     """winding (N, NPX); rule (N, 1) i32 (0 nonzero, 1 evenodd)."""
     nz = jnp.minimum(jnp.abs(winding), 1.0)

@@ -103,6 +103,182 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=False):
     )(seg, y_edge[:, None])
 
 
+# ---------------------------------------------------------------------------
+# Fused sample-mask MSAA coverage
+#
+# The sample-mask formulation of fine.wgsl's fill_path_ms (reference
+# fine.wgsl:146-511 + mask.rs): per-sample winding accumulated per fragment,
+# fill rule applied per sample, box resolve — all inside VMEM so the
+# (T, ns*256) per-sample tensor never exists in HBM. Touches arrive sorted
+# by fragment (ftile); each grid step folds its touch block's per-sample
+# deltas into a fragment-window accumulator with a one-hot bf16 MXU matmul
+# (deltas are small integers, exact in bf16; accumulation in f32), carries
+# the open fragment across blocks, resolves coverage per fragment row, and
+# maps it back to each fragment's LAST touch row of the (T, 256) output.
+
+CK_M = 128                 # touches per grid step (msaa)
+WF_M = CK_M + 16           # fragment-window rows: touched-fragment ids are
+                           # DENSE ranks in the sorted touch stream, so a
+                           # CK-touch block spans <= CK+1 ranks (+8 align)
+
+
+def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
+                     trow_hbm,         # VMEM blocked (CK, 8) via in_specs
+                     rank_ref,         # VMEM (1, CK) f32 dense rank row
+                     sxy_ref,          # VMEM (2, ns*256) sample coords
+                     bdr_hbm,          # ANY (Fpad, 128) rank-ordered:
+                                       # col0 backdrop, col1 rule
+                     out_ref,          # out VMEM (CK, 256)
+                     bwin_ref, carry_ref, meta_ref, sem, *, ns):
+    g = pl.program_id(0)
+    w0 = pl.multiple_of(w0_ref[g], 8)
+    cp = pltpu.make_async_copy(bdr_hbm.at[pl.ds(w0, WF_M)], bwin_ref, sem)
+    cp.start()
+
+    @pl.when(g == 0)
+    def _():
+        meta_ref[0] = 0          # no open fragment
+        meta_ref[1] = 0
+
+    t = trow_hbm[...]                                   # (CK, 8)
+    x0 = t[:, 0:1]
+    y0 = t[:, 1:2]
+    x1 = t[:, 2:3]
+    y1 = t[:, 3:4]
+    ye = t[:, 4:5]
+    islast = t[:, 7:8]                                  # 1.0 at segment ends
+    dx = x1 - x0
+    dy = y1 - y0
+    ymin = jnp.minimum(y0, y1)
+    ymax = jnp.maximum(y0, y1)
+    inv_dy = 1.0 / jnp.where(dy == 0.0, 1.0, dy)
+    sgn = jnp.where(dy > 0.0, -1.0, 1.0)
+    sgn_dx = jnp.sign(dx)
+    # one vectorized (CK, ns*256) pass: column s*256+px is sample s of
+    # pixel px; sample coordinates ride two constant input rows
+    sxc = sxy_ref[0:1, :]                               # (1, ns*256)
+    syc = sxy_ref[1:2, :]
+    crossing = (syc >= ymin) & (syc < ymax)
+    xt = x0 + (syc - y0) * inv_dy * dx
+    delta = jnp.where(crossing & (xt < sxc), sgn, 0.0) \
+        + jnp.where(syc >= ye, sgn_dx, 0.0)             # (CK, ns*256)
+
+    # fold into the fragment window (one-hot bf16 matmul, exact for the
+    # small-integer deltas; f32 accumulate)
+    w0f = jax.lax.convert_element_type(w0, jnp.float32)
+    ftl_row = rank_ref[...] - w0f                       # (1, CK) local ids
+    ftl_col = t[:, 6:7] - w0f                           # (CK, 1)
+    wiota_c = jax.lax.broadcasted_iota(
+        jnp.int32, (WF_M, 1), 0).astype(jnp.float32)    # (WF, 1)
+    wiota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (1, WF_M), 1).astype(jnp.float32)    # (1, WF)
+    oh = (wiota_c == ftl_row).astype(jnp.bfloat16)      # (WF, CK)
+    acc = jax.lax.dot_general(
+        oh, delta.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (WF, ns*256)
+    # carry in the open fragment's partial sums
+    open_f = meta_ref[0]
+    open_id = meta_ref[1]
+    ccol = ((wiota_c == jax.lax.convert_element_type(open_id - w0,
+                                                     jnp.float32))
+            & (open_f > 0)).astype(jnp.float32)         # (WF, 1)
+    # (the open fragment's rank always falls in this window: it is the
+    # first touch's fragment, and w0 = align8(rank[g*CK]) <= it)
+    acc = acc + jax.lax.dot_general(
+        ccol, carry_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    # update the carry with the (possibly still open) last fragment
+    last_local = jnp.max(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (CK_M, 1), 0) == CK_M - 1,
+        ftl_col, -jnp.inf))
+    lrow = (wiota_r == last_local).astype(jnp.float32)  # (1, WF)
+    new_carry = jax.lax.dot_general(
+        lrow, acc, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)             # (1, ns*256)
+    carry_ref[...] = new_carry
+    last_islast = jnp.max(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (CK_M, 1), 0) == CK_M - 1,
+        islast, -jnp.inf))
+    meta_ref[0] = (last_islast <= 0.0).astype(jnp.int32)
+    meta_ref[1] = (jax.lax.convert_element_type(last_local, jnp.int32)
+                   + w0)
+
+    # resolve coverage per fragment row: + backdrop, fill rule per sample,
+    # box average
+    cp.wait()
+    bd = bwin_ref[:, 0:1]                               # (WF, 1)
+    rule = bwin_ref[:, 1:2]
+    w = acc + bd                                        # (WF, ns*256)
+    nz = jnp.minimum(jnp.abs(w), 1.0)
+    eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
+    filled = jnp.where(rule == 1.0, eo, nz)
+    cov = filled[:, :NPX]
+    for s in range(1, ns):
+        cov = cov + filled[:, s * NPX:(s + 1) * NPX]
+    cov = cov * (1.0 / ns)
+
+    # back-map each finished fragment's coverage to its LAST touch row
+    ohT = ((ftl_col == wiota_r)
+           & (islast > 0.0)).astype(jnp.float32)        # (CK, WF)
+    out = jax.lax.dot_general(
+        ohT, cov, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)             # (CK, 256)
+    out_ref[...] = out
+
+
+def msaa_coverage_pallas(trow, rank_row, bdr, w0s, ns, interpret=False):
+    """trow (T, 8) f32 fragment-sorted touch rows [x0,y0,x1,y1,y_edge,_,
+    rank,is_last]; rank_row (1, T) f32 dense fragment ranks; bdr
+    (Fpad, 128) f32 rank-ordered [backdrop, rule]; w0s (G,) i32 8-aligned
+    rank-window starts. Returns (T, 256) f32 with each fragment's resolved
+    MSAA coverage at its last touch row (zeros elsewhere)."""
+    import numpy as _np
+
+    from .fine_xla import sample_offsets
+    offs = sample_offsets(ns)
+    lin = _np.arange(ns * NPX)
+    pxp = (lin % NPX) % TILE_W
+    pyp = (lin % NPX) // TILE_W
+    sxy = jnp.asarray(_np.stack([
+        pxp + _np.repeat([o[0] for o in offs], NPX),
+        pyp + _np.repeat([o[1] for o in offs], NPX)]), dtype=jnp.float32)
+
+    t = trow.shape[0]
+    assert t % CK_M == 0, t
+    g = t // CK_M
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((CK_M, 8), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CK_M), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ns * NPX), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((CK_M, NPX), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((WF_M, 128), jnp.float32),
+            pltpu.VMEM((1, ns * NPX), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kern = functools.partial(_msaa_cov_kernel, ns=ns)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.float32),
+        interpret=interpret,
+    )(w0s, trow, rank_row, sxy, bdr)
+
+
 def use_pallas() -> bool:
     if os.environ.get("VELLO_TPU_NO_PALLAS"):
         return False
@@ -591,11 +767,15 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
     Sequentially composites dst = src + dst*(1-a) per tile in VMEM —
     exact ordered src-over with no log/exp trick and none of the XLA
     suffix/cumsum/gather passes. Returns (G, 4, 256) composited tiles."""
-    # Pad one chunk: dynamic slices clamp their start when out of bounds,
-    # which would silently shift the last tiles' fragment windows.
-    src_sorted = jnp.concatenate(
-        [src_sorted,
-         jnp.zeros((FINE_CHUNK,) + src_sorted.shape[1:], src_sorted.dtype)])
+    if src_sorted.shape[0] % FINE_CHUNK != 0:
+        # Chunk windows must stay in bounds (dynamic slices clamp their
+        # start, silently shifting the last tiles' fragment windows).
+        # Capacity tiers are always chunk-aligned, so this pad (a full copy
+        # of the src tensor) only triggers for hand-built sizes.
+        pad = FINE_CHUNK - src_sorted.shape[0] % FINE_CHUNK
+        src_sorted = jnp.concatenate(
+            [src_sorted,
+             jnp.zeros((pad,) + src_sorted.shape[1:], src_sorted.dtype)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_gtiles,),

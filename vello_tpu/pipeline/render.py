@@ -47,6 +47,41 @@ class PipelineStatic:
         return (self.height + TILE_H - 1) // TILE_H
 
 
+def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns):
+    """Fused sample-mask MSAA coverage on TPU.
+
+    Fragments get DENSE ranks (cumsum of run starts in the sorted touch
+    stream) so the kernel's fragment window stays bounded; backdrop/rule
+    compact to rank order with one small F-sort; untouched fragments
+    (backdrop-only interiors) resolve to fill(backdrop) outside the kernel.
+    Returns (F, 256) coverage."""
+    from ..ops.pallas_kernels import CK_M, WF_M, msaa_coverage_pallas
+
+    diff = seg_ids[1:] != seg_ids[:-1]
+    is_first = jnp.concatenate([jnp.ones(1, bool), diff])
+    is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    f = backdrop.shape[0]
+    has_t = starts[1:] > starts[:-1]
+    rank_f = jnp.cumsum(has_t.astype(jnp.int32)) - 1
+    key = jnp.where(has_t, rank_f, jnp.int32(2 ** 30))
+    _, bd_d, rl_d = jax.lax.sort(
+        (key, backdrop, rule[:, 0].astype(jnp.float32)), num_keys=1)
+    fpad = f + 8 + WF_M
+    bdr = jnp.pad(jnp.stack([bd_d, rl_d], axis=-1),
+                  ((0, fpad - f), (0, 126)))             # (Fpad, 128)
+    trow2 = jnp.concatenate(
+        [trow[:, :6], rank.astype(jnp.float32)[:, None],
+         is_last.astype(jnp.float32)[:, None]], axis=1)  # (T, 8)
+    w0s = ((rank[::CK_M] // 8) * 8).astype(jnp.int32)
+    out_t = msaa_coverage_pallas(trow2, rank.astype(jnp.float32)[None, :],
+                                 bdr, w0s, ns)
+    ends = jnp.maximum(starts[1:] - 1, 0)
+    cov_t = out_t[ends]                                  # (F, 256)
+    cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
+    return jnp.where(has_t[:, None], cov_t, cov_empty)
+
+
 def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                       keep_clip_paths: bool = False, want_src: bool = True,
                       geom_axis=None, geom_shards: int = 1):
@@ -141,22 +176,9 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     from ..ops.pallas_kernels import coverage_cumsum_pallas, use_pallas
     from ..ops.segmented import segment_starts, segment_sum_from_starts
     starts = segment_starts(seg_ids, caps.n_path_tiles)
-    if use_pallas():
-        # Fused Pallas kernel: winding coverage + running cumsum in VMEM.
-        # Gather csum[starts-1] with start==0 masked instead of physically
-        # prepending a zero row (the concat copies the whole 268 MB tensor).
-        csum = coverage_cumsum_pallas(seg_s, yedge_s)
-        at = jnp.where((starts > 0)[:, None],
-                       csum[jnp.maximum(starts - 1, 0)], 0.0)
-        frag_cov = at[1:] - at[:-1]                      # (F, 256)
-    else:
-        cov = fine_xla.coverage_delta(seg_s, yedge_s)    # (T, 256)
-        frag_cov = segment_sum_from_starts(cov, starts)
     bd_sum = segment_sum_from_starts(bdval_s, starts)
     if geom_axis is not None:
-        # Coverage and backdrop deltas are additive across segment shards:
-        # one all-reduce combines the partial geometry of all members.
-        frag_cov = jax.lax.psum(frag_cov, axis_name=geom_axis)
+        # Backdrop deltas are additive across segment shards.
         bd_sum = jax.lax.psum(bd_sum, axis_name=geom_axis)
     bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
@@ -171,30 +193,61 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     tmeta = jnp.stack([bufs["path_kind"], rects["stride"], rects["base"],
                        rects["tx0"], rects["ty0"], bufs["fill_rule"]],
                       axis=-1)                            # (P, 6) i32
-    trow = tmeta[tpath]                                   # (F, 6)
-    is_clip = trow[:, 0] != 0
+    tmrow = tmeta[tpath]                                  # (F, 6)
+    is_clip = tmrow[:, 0] != 0
     tvalid = t < rects["total_tiles"]
     if not keep_clip_paths:
         tvalid = tvalid & ~is_clip
-    stride = jnp.maximum(trow[:, 1], 1)
-    rel = t - trow[:, 2]
-    tx = trow[:, 3] + rel % stride
-    ty = trow[:, 4] + rel // stride
+    stride = jnp.maximum(tmrow[:, 1], 1)
+    rel = t - tmrow[:, 2]
+    tx = tmrow[:, 3] + rel % stride
+    ty = tmrow[:, 4] + rel // stride
 
     # Backdrop = inclusive prefix of the deltas along each tile row
     # (backdrop_dyn.wgsl replacement, sharing this stage's tpath/rel).
-    row_start = trow[:, 2] + (rel // stride) * stride
+    row_start = tmrow[:, 2] + (rel // stride) * stride
     cbd = jnp.cumsum(bd_delta)
     bdpack = jnp.stack([cbd, bd_delta], axis=-1)[row_start]
     backdrop = cbd - bdpack[:, 0] + bdpack[:, 1]
+    rule = tmrow[:, 5][:, None]
 
-    winding = backdrop[:, None].astype(jnp.float32) + frag_cov
-    rule = trow[:, 5][:, None]
-    coverage = fine_xla.apply_fill_rule(winding, rule)
-    if static.aa == "centers":
-        # binary sample coverage (the per-sample winding of fill_path_ms):
-        # threshold at half coverage ~= center-in-shape for straight edges
-        coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
+    if static.aa in ("msaa8", "msaa16"):
+        # Sample-mask MSAA: per-sample winding, fill rule per sample, box
+        # resolve (fine.wgsl fill_path_ms role).
+        if geom_axis is not None:
+            raise NotImplementedError(
+                "msaa under geometry sharding: use area AA")
+        ns = 8 if static.aa == "msaa8" else 16
+        bdf = backdrop.astype(jnp.float32)
+        if use_pallas():
+            coverage = _msaa_coverage_device(trow, seg_ids, starts, bdf,
+                                             rule, ns)
+        else:
+            coverage = fine_xla.msaa_coverage_xla(seg_s, yedge_s, starts,
+                                                  bdf, rule, ns)
+    else:
+        if use_pallas():
+            # Fused Pallas kernel: winding coverage + running cumsum in
+            # VMEM. Gather csum[starts-1] with start==0 masked instead of
+            # physically prepending a zero row (the concat copies the
+            # whole 268 MB tensor).
+            csum = coverage_cumsum_pallas(seg_s, yedge_s)
+            at = jnp.where((starts > 0)[:, None],
+                           csum[jnp.maximum(starts - 1, 0)], 0.0)
+            frag_cov = at[1:] - at[:-1]                  # (F, 256)
+        else:
+            cov = fine_xla.coverage_delta(seg_s, yedge_s)
+            frag_cov = segment_sum_from_starts(cov, starts)
+        if geom_axis is not None:
+            # Coverage is additive across segment shards: one all-reduce
+            # combines the partial geometry of all members.
+            frag_cov = jax.lax.psum(frag_cov, axis_name=geom_axis)
+        winding = backdrop[:, None].astype(jnp.float32) + frag_cov
+        coverage = fine_xla.apply_fill_rule(winding, rule)
+        if static.aa == "centers":
+            # binary sample coverage: threshold at half coverage ~=
+            # center-in-shape for straight edges (supersampling helper)
+            coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
     coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
     # --- cull + sort fragments by (local gtile, draw order) ---
