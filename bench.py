@@ -16,8 +16,10 @@ import numpy as np
 import jax.numpy as jnp
 
 BASELINE_FPS = 177.0
-COMPLEXITY = int(os.environ.get("BENCH_COMPLEXITY", "10"))   # ~10k elements
-SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
+# BASELINE.json north-star config: paris-30k-class scene, 1600^2, msaa16
+COMPLEXITY = int(os.environ.get("BENCH_COMPLEXITY", "30"))   # ~30k elements
+SIZE = int(os.environ.get("BENCH_SIZE", "1600"))
+AA = os.environ.get("BENCH_AA", "msaa16")
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
@@ -33,7 +35,8 @@ def main():
 
     t0 = time.time()
     scene = filled_mmark(COMPLEXITY, float(SIZE))
-    params = RenderParams(SIZE, SIZE, base_color=(0.1, 0.1, 0.1, 1.0))
+    params = RenderParams(SIZE, SIZE, base_color=(0.1, 0.1, 0.1, 1.0),
+                          antialiasing=AA)
     rs = resolve(scene.encoding, params)
     caps = rs.capacities(params)
     from vello_tpu.encoding.config import next_tier_size
@@ -42,6 +45,7 @@ def main():
     static = PipelineStatic(
         caps_key=caps.key(), width=SIZE, height=SIZE,
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))),
+        aa=AA,
         n_live=0 if n_live >= caps.n_path_tiles else n_live)
     bufs = pack_buffers(rs, caps, params)
     bufs = {k: jax.device_put(np.asarray(v)) for k, v in bufs.items()}
@@ -59,7 +63,7 @@ def main():
         # (the Renderer has a retry loop; the bench keeps one static).
         static = PipelineStatic(
             caps_key=caps.key(), width=SIZE, height=SIZE,
-            kinds_present=static.kinds_present)
+            kinds_present=static.kinds_present, aa=AA)
         fn = get_pipeline(static)
         img, overflow = fn(bufs)
         _sync = int(jax.device_get(overflow))
@@ -102,7 +106,7 @@ def main():
         bdt = (time.time() - t0) / max(ITERS // 2, 3)
         batch_fps = B / bdt
     result = {
-        "metric": f"fps filled_mmark-{COMPLEXITY}k {SIZE}x{SIZE} area-AA "
+        "metric": f"fps filled_mmark-{COMPLEXITY}k {SIZE}x{SIZE} {AA} "
                   f"({n_paths} paths, {n_segs} segs, ~{rs.est_lines} lines)",
         "value": round(fps, 2),
         "unit": "fps",
