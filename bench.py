@@ -42,10 +42,12 @@ def main():
     from vello_tpu.encoding.config import next_tier_size
     n_live = min(caps.n_path_tiles,
                  next_tier_size(rs.est_live + 64 + rs.n_paths // 16))
+    has_eo = bool((rs.fill_rule == 1).any()) if AA.startswith("msaa") \
+        else True
     static = PipelineStatic(
         caps_key=caps.key(), width=SIZE, height=SIZE,
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))),
-        aa=AA,
+        aa=AA, has_evenodd=has_eo,
         n_live=0 if n_live >= caps.n_path_tiles else n_live)
     bufs = pack_buffers(rs, caps, params)
     bufs = {k: jax.device_put(np.asarray(v)) for k, v in bufs.items()}
@@ -63,7 +65,8 @@ def main():
         # (the Renderer has a retry loop; the bench keeps one static).
         static = PipelineStatic(
             caps_key=caps.key(), width=SIZE, height=SIZE,
-            kinds_present=static.kinds_present, aa=AA)
+            kinds_present=static.kinds_present, aa=AA,
+            has_evenodd=has_eo)
         fn = get_pipeline(static)
         img, overflow = fn(bufs)
         _sync = int(jax.device_get(overflow))

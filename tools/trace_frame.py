@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build(complexity, size):
+def build(complexity, size, aa="area"):
     import jax
     from vello_tpu import RenderParams
     from vello_tpu.encoding.config import next_tier_size
@@ -32,7 +32,8 @@ def build(complexity, size):
     from vello_tpu.scenes.test_scenes import filled_mmark
 
     scene = filled_mmark(complexity, float(size))
-    params = RenderParams(size, size, base_color=(0.1, 0.1, 0.1, 1.0))
+    params = RenderParams(size, size, base_color=(0.1, 0.1, 0.1, 1.0),
+                          antialiasing=aa)
     rs = resolve(scene.encoding, params)
     caps = rs.capacities(params)
     n_live = min(caps.n_path_tiles,
@@ -40,6 +41,9 @@ def build(complexity, size):
     static = PipelineStatic(
         caps_key=caps.key(), width=size, height=size,
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))),
+        aa=aa,
+        has_evenodd=(bool((rs.fill_rule == 1).any())
+                     if aa.startswith("msaa") else True),
         n_live=0 if n_live >= caps.n_path_tiles else n_live)
     bufs = {k: jax.device_put(np.asarray(v))
             for k, v in pack_buffers(rs, caps, params).items()}
@@ -68,13 +72,14 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     complexity = int(args[0]) if len(args) > 0 else 10
     size = int(args[1]) if len(args) > 1 else 1024
+    aa = args[2] if len(args) > 2 else "area"
     top = 25
     for a in sys.argv[1:]:
         if a.startswith("--top"):
             top = int(a.split("=")[1]) if "=" in a else 25
 
     import jax
-    fn, bufs = build(complexity, size)
+    fn, bufs = build(complexity, size, aa)
     lowered = fn.lower(bufs)
     compiled = lowered.compile()
     hlo_text = compiled.as_text()
@@ -119,7 +124,7 @@ def main():
 
     n_frames = 5
     print(f"== device total {total/n_frames:.2f} ms/frame "
-          f"(complexity={complexity}, size={size}) ==")
+          f"(complexity={complexity}, size={size}, aa={aa}) ==")
     # family rollup
     fam = defaultdict(float)
     for name, d in per_op.items():

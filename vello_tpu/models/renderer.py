@@ -193,11 +193,16 @@ class Renderer:
         n_live = min(caps.n_path_tiles,
                      next_tier_size(min(caps.n_path_tiles,
                                         rs.est_live + 64 + rs.n_paths // 16)))
+        # even-odd specialization only keys the msaa resolve kernel; keep
+        # the area-AA jit key stable
+        has_eo = True
+        if params.antialiasing in ("msaa8", "msaa16"):
+            has_eo = bool((rs.fill_rule == 1).any())
         for attempt in range(self.max_retries + 1):
             static = PipelineStatic(
                 caps_key=caps.key(), width=params.width,
                 height=params.height, kinds_present=kinds,
-                aa=params.antialiasing,
+                aa=params.antialiasing, has_evenodd=has_eo,
                 n_live=0 if n_live >= caps.n_path_tiles else n_live)
             # Re-rendering the same resolved scene (animation loops, profiling,
             # serving) must not re-pack + re-upload ~MBs of buffers per frame —

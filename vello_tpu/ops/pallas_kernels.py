@@ -116,20 +116,23 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=False):
 # the open fragment across blocks, resolves coverage per fragment row, and
 # maps it back to each fragment's LAST touch row of the (T, 256) output.
 
-CK_M = 128                 # touches per grid step (msaa)
+CK_M = 112                 # touches per grid step (msaa)
 WF_M = CK_M + 16           # fragment-window rows: touched-fragment ids are
                            # DENSE ranks in the sorted touch stream, so a
-                           # CK-touch block spans <= CK+1 ranks (+8 align)
+                           # CK-touch block spans <= CK+1 ranks (+8 align).
+                           # WF = 128 keeps the fold matmul at one MXU
+                           # M-tile: (144,...) pads to 256 rows and halves
+                           # the effective MAC rate.
 
 
 def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
                      trow_hbm,         # VMEM blocked (CK, 8) via in_specs
-                     rank_ref,         # VMEM (1, CK) f32 dense rank row
                      sxy_ref,          # VMEM (2, ns*256) sample coords
                      bdr_hbm,          # ANY (Fpad, 128) rank-ordered:
                                        # col0 backdrop, col1 rule
                      out_ref,          # out VMEM (CK, 256)
-                     bwin_ref, carry_ref, meta_ref, sem, *, ns):
+                     bwin_ref, carry_ref, meta_ref, sem, *, ns,
+                     has_evenodd):
     g = pl.program_id(0)
     w0 = pl.multiple_of(w0_ref[g], 8)
     cp = pltpu.make_async_copy(bdr_hbm.at[pl.ds(w0, WF_M)], bwin_ref, sem)
@@ -164,40 +167,36 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
         + jnp.where(syc >= ye, sgn_dx, 0.0)             # (CK, ns*256)
 
     # fold into the fragment window (one-hot bf16 matmul, exact for the
-    # small-integer deltas; f32 accumulate)
+    # small-integer deltas; f32 accumulate). The one-hot is built in the
+    # (CK, WF) orientation — local rank lives in a trow column — and the
+    # fold contracts dim 0 of both operands.
     w0f = jax.lax.convert_element_type(w0, jnp.float32)
-    ftl_row = rank_ref[...] - w0f                       # (1, CK) local ids
     ftl_col = t[:, 6:7] - w0f                           # (CK, 1)
     wiota_c = jax.lax.broadcasted_iota(
         jnp.int32, (WF_M, 1), 0).astype(jnp.float32)    # (WF, 1)
     wiota_r = jax.lax.broadcasted_iota(
         jnp.int32, (1, WF_M), 1).astype(jnp.float32)    # (1, WF)
-    oh = (wiota_c == ftl_row).astype(jnp.bfloat16)      # (WF, CK)
+    ohT_fold = (ftl_col == wiota_r).astype(jnp.bfloat16)   # (CK, WF)
     acc = jax.lax.dot_general(
-        oh, delta.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        ohT_fold, delta.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (WF, ns*256)
-    # carry in the open fragment's partial sums
+    # carry in the open fragment's partial sums (masked broadcast-add:
+    # exact f32, no matmul)
     open_f = meta_ref[0]
     open_id = meta_ref[1]
     ccol = ((wiota_c == jax.lax.convert_element_type(open_id - w0,
                                                      jnp.float32))
-            & (open_f > 0)).astype(jnp.float32)         # (WF, 1)
+            & (open_f > 0))                             # (WF, 1) bool
     # (the open fragment's rank always falls in this window: it is the
     # first touch's fragment, and w0 = align8(rank[g*CK]) <= it)
-    acc = acc + jax.lax.dot_general(
-        ccol, carry_ref[...], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    acc = acc + jnp.where(ccol, carry_ref[...], 0.0)
     # update the carry with the (possibly still open) last fragment
+    # (masked row reduce: exact f32)
     last_local = jnp.max(jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (CK_M, 1), 0) == CK_M - 1,
         ftl_col, -jnp.inf))
-    lrow = (wiota_r == last_local).astype(jnp.float32)  # (1, WF)
-    new_carry = jax.lax.dot_general(
-        lrow, acc, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)             # (1, ns*256)
-    carry_ref[...] = new_carry
+    carry_ref[...] = jnp.sum(
+        jnp.where(wiota_c == last_local, acc, 0.0), axis=0, keepdims=True)
     last_islast = jnp.max(jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (CK_M, 1), 0) == CK_M - 1,
         islast, -jnp.inf))
@@ -209,32 +208,34 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
     # box average
     cp.wait()
     bd = bwin_ref[:, 0:1]                               # (WF, 1)
-    rule = bwin_ref[:, 1:2]
     w = acc + bd                                        # (WF, ns*256)
-    nz = jnp.minimum(jnp.abs(w), 1.0)
-    eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
-    filled = jnp.where(rule == 1.0, eo, nz)
+    filled = jnp.minimum(jnp.abs(w), 1.0)
+    if has_evenodd:
+        eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
+        filled = jnp.where(bwin_ref[:, 1:2] == 1.0, eo, filled)
     cov = filled[:, :NPX]
     for s in range(1, ns):
         cov = cov + filled[:, s * NPX:(s + 1) * NPX]
     cov = cov * (1.0 / ns)
 
-    # back-map each finished fragment's coverage to its LAST touch row
-    ohT = ((ftl_col == wiota_r)
-           & (islast > 0.0)).astype(jnp.float32)        # (CK, WF)
+    # back-map each finished fragment's coverage to its LAST touch row.
+    # cov values are k/ns sums: exact in bf16, so a single-pass bf16
+    # selection matmul is lossless.
+    ohT = ohT_fold * (islast > 0.0).astype(jnp.bfloat16)   # (CK, WF)
     out = jax.lax.dot_general(
-        ohT, cov, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        ohT, cov.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (CK, 256)
     out_ref[...] = out
 
 
-def msaa_coverage_pallas(trow, rank_row, bdr, w0s, ns, interpret=False):
+def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
+                         interpret=False):
     """trow (T, 8) f32 fragment-sorted touch rows [x0,y0,x1,y1,y_edge,_,
-    rank,is_last]; rank_row (1, T) f32 dense fragment ranks; bdr
-    (Fpad, 128) f32 rank-ordered [backdrop, rule]; w0s (G,) i32 8-aligned
-    rank-window starts. Returns (T, 256) f32 with each fragment's resolved
-    MSAA coverage at its last touch row (zeros elsewhere)."""
+    rank,is_last]; bdr (Fpad, 128) f32 rank-ordered [backdrop, rule]
+    (rank = dense fragment rank, trow col 6). Returns (T, 256) f32
+    with each fragment's resolved MSAA coverage at its last touch row
+    (zeros elsewhere). ``has_evenodd=False`` specializes out the even-odd
+    fill-rule path (static, saves a wide round/abs/select per step)."""
     import numpy as _np
 
     from .fine_xla import sample_offsets
@@ -246,16 +247,25 @@ def msaa_coverage_pallas(trow, rank_row, bdr, w0s, ns, interpret=False):
         pxp + _np.repeat([o[0] for o in offs], NPX),
         pyp + _np.repeat([o[1] for o in offs], NPX)]), dtype=jnp.float32)
 
+    t0 = trow.shape[0]
+    if t0 % CK_M:
+        # pad with zero-geometry rows bound to the last rank (delta-free,
+        # islast=0 so they never write output)
+        padn = CK_M - t0 % CK_M
+        lastrow = jnp.concatenate(
+            [jnp.zeros((1, 6), jnp.float32), trow[-1:, 6:7],
+             jnp.zeros((1, 1), jnp.float32)], axis=1)
+        trow = jnp.concatenate(
+            [trow, jnp.broadcast_to(lastrow, (padn, 8))])
     t = trow.shape[0]
-    assert t % CK_M == 0, t
+    # 8-aligned fragment-rank window start per grid step
+    w0s = ((trow[::CK_M, 6] // 8) * 8).astype(jnp.int32)
     g = t // CK_M
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((CK_M, 8), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, CK_M), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, ns * NPX), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -270,13 +280,15 @@ def msaa_coverage_pallas(trow, rank_row, bdr, w0s, ns, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kern = functools.partial(_msaa_cov_kernel, ns=ns)
-    return pl.pallas_call(
+    kern = functools.partial(_msaa_cov_kernel, ns=ns,
+                             has_evenodd=has_evenodd)
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.float32),
         interpret=interpret,
-    )(w0s, trow, rank_row, sxy, bdr)
+    )(w0s, trow, sxy, bdr)
+    return out[:t0]
 
 
 def use_pallas() -> bool:

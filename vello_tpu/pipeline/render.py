@@ -37,6 +37,8 @@ class PipelineStatic:
     kinds_present: Tuple[int, ...]
     aa: str = "area"  # "area" | "centers" (binary per-sample, used by msaa)
     n_live: int = 0   # live-fragment cap after culling (0 = no culling)
+    has_evenodd: bool = True  # any even-odd fill rule in the scene (static
+                              # specialization of the msaa resolve)
 
     @property
     def width_tiles(self):
@@ -47,7 +49,8 @@ class PipelineStatic:
         return (self.height + TILE_H - 1) // TILE_H
 
 
-def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns):
+def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns,
+                          has_evenodd=True):
     """Fused sample-mask MSAA coverage on TPU.
 
     Fragments get DENSE ranks (cumsum of run starts in the sorted touch
@@ -55,7 +58,7 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns):
     compact to rank order with one small F-sort; untouched fragments
     (backdrop-only interiors) resolve to fill(backdrop) outside the kernel.
     Returns (F, 256) coverage."""
-    from ..ops.pallas_kernels import CK_M, WF_M, msaa_coverage_pallas
+    from ..ops.pallas_kernels import WF_M, msaa_coverage_pallas
 
     diff = seg_ids[1:] != seg_ids[:-1]
     is_first = jnp.concatenate([jnp.ones(1, bool), diff])
@@ -73,9 +76,7 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns):
     trow2 = jnp.concatenate(
         [trow[:, :6], rank.astype(jnp.float32)[:, None],
          is_last.astype(jnp.float32)[:, None]], axis=1)  # (T, 8)
-    w0s = ((rank[::CK_M] // 8) * 8).astype(jnp.int32)
-    out_t = msaa_coverage_pallas(trow2, rank.astype(jnp.float32)[None, :],
-                                 bdr, w0s, ns)
+    out_t = msaa_coverage_pallas(trow2, bdr, ns, has_evenodd=has_evenodd)
     ends = jnp.maximum(starts[1:] - 1, 0)
     cov_t = out_t[ends]                                  # (F, 256)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
@@ -221,7 +222,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         bdf = backdrop.astype(jnp.float32)
         if use_pallas():
             coverage = _msaa_coverage_device(trow, seg_ids, starts, bdf,
-                                             rule, ns)
+                                             rule, ns,
+                                             static.has_evenodd)
         else:
             coverage = fine_xla.msaa_coverage_xla(seg_s, yedge_s, starts,
                                                   bdf, rule, ns)
