@@ -282,13 +282,15 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
     )
     kern = functools.partial(_msaa_cov_kernel, ns=ns,
                              has_evenodd=has_evenodd)
-    out = pl.pallas_call(
+    # NOTE: returns the CK-padded row count (pad rows are islast=0 => all
+    # zero); callers gather by touch index < t0, so slicing back would only
+    # add an 800 MB copy.
+    return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.float32),
         interpret=interpret,
     )(w0s, trow, sxy, bdr)
-    return out[:t0]
 
 
 def use_pallas() -> bool:
@@ -724,52 +726,58 @@ def expand_touches_pallas(lpack, s0s, n_touch_cap, interpret=False):
 FINE_CHUNK = 128  # fragments DMA'd per step (128*4KB = 512KB buffer)
 
 
-def _fine_kernel(starts_ref,           # scalar prefetch: (G+1,) i32
+FINE_TB = 8       # gtiles composited per grid step (amortizes step overhead)
+
+
+def _fine_kernel(starts_ref,           # scalar prefetch: (Gpad+1,) i32
                  src_hbm,              # HBM: (F, 4, 256) premultiplied src
                  base_ref,             # VMEM: (1, 4) f32 premultiplied
-                 out_ref,              # VMEM out: (1, 4, 256)
+                 out_ref,              # VMEM out: (FINE_TB, 4, 256)
                  src_buf, win_ref, sem):
-    g = pl.program_id(0)
-    lo = starts_ref[g]
-    hi = starts_ref[g + 1]
+    step = pl.program_id(0)
 
-    @pl.when(g == 0)
+    @pl.when(step == 0)
     def _():
         win_ref[0] = -1  # no chunk resident
 
     base = base_ref[0, :]
-    dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
 
-    # Walk chunk-aligned windows covering [lo, hi). The resident-window
-    # index persists across grid steps (sequential TPU grid), so
-    # consecutive tiles sharing a window skip the DMA — each fragment is
-    # fetched ~once per frame instead of once per touched tile.
-    c0 = lo // FINE_CHUNK
-    c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
+    for tt in range(FINE_TB):
+        g = step * FINE_TB + tt
+        lo = starts_ref[g]
+        hi = starts_ref[g + 1]
+        dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
 
-    def chunk_body(k, dst):
-        cidx = c0 + k
-        cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
+        # Walk chunk-aligned windows covering [lo, hi). The resident-window
+        # index persists across grid steps (sequential TPU grid), so
+        # consecutive tiles sharing a window skip the DMA — each fragment
+        # is fetched ~once per frame instead of once per touched tile.
+        c0 = lo // FINE_CHUNK
+        c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
 
-        @pl.when(win_ref[0] != cidx)
-        def _():
-            cp = pltpu.make_async_copy(
-                src_hbm.at[pl.ds(cstart, FINE_CHUNK)], src_buf, sem)
-            cp.start()
-            cp.wait()
-            win_ref[0] = cidx
+        def chunk_body(k, dst, c0=c0, lo=lo, hi=hi):
+            cidx = c0 + k
+            cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
 
-        i_lo = jnp.maximum(lo - cstart, 0)
-        i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
+            @pl.when(win_ref[0] != cidx)
+            def _():
+                cp = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(cstart, FINE_CHUNK)], src_buf, sem)
+                cp.start()
+                cp.wait()
+                win_ref[0] = cidx
 
-        def frag_body(i, dst):
-            src = src_buf[i]                          # (4, 256) premul
-            return src + dst * (1.0 - src[3:4, :])
+            i_lo = jnp.maximum(lo - cstart, 0)
+            i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
 
-        return jax.lax.fori_loop(i_lo, i_hi, frag_body, dst)
+            def frag_body(i, dst):
+                src = src_buf[i]                      # (4, 256) premul
+                return src + dst * (1.0 - src[3:4, :])
 
-    dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
-    out_ref[0] = dst
+            return jax.lax.fori_loop(i_lo, i_hi, frag_body, dst)
+
+        dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
+        out_ref[tt] = dst
 
 
 def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
@@ -788,14 +796,21 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
         src_sorted = jnp.concatenate(
             [src_sorted,
              jnp.zeros((pad,) + src_sorted.shape[1:], src_sorted.dtype)])
+    # Pad the tile axis to the per-step batch; padded tiles read an empty
+    # fragment range (starts pads with its last value) and are sliced off.
+    gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
+    if starts.shape[0] < gpad + 1:
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(starts[-1:],
+                                      (gpad + 1 - starts.shape[0],))])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_gtiles,),
+        grid=(gpad // FINE_TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # src rows stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # base color
         ],
-        out_specs=pl.BlockSpec((1, 4, NPX), lambda g, *_: (g, 0, 0),
+        out_specs=pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((FINE_CHUNK, 4, NPX), jnp.float32),
@@ -803,9 +818,10 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _fine_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_gtiles, 4, NPX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gpad, 4, NPX), jnp.float32),
         interpret=interpret,
     )(starts, src_sorted, base_premul[None, :])
+    return out[:n_gtiles]

@@ -57,7 +57,12 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns,
     stream) so the kernel's fragment window stays bounded; backdrop/rule
     compact to rank order with one small F-sort; untouched fragments
     (backdrop-only interiors) resolve to fill(backdrop) outside the kernel.
-    Returns (F, 256) coverage."""
+
+    Returns (out_t, ends, has_t, cov_empty): the per-last-touch coverage
+    rows plus the lookup data to assemble any fragment's coverage with ONE
+    row gather — callers compose this with their own fragment permutation
+    instead of materializing (F, 256) twice (each (F, 256) row gather is
+    ~2.5 ms at the bench tier)."""
     from ..ops.pallas_kernels import WF_M, msaa_coverage_pallas
 
     diff = seg_ids[1:] != seg_ids[:-1]
@@ -78,9 +83,17 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns,
          is_last.astype(jnp.float32)[:, None]], axis=1)  # (T, 8)
     out_t = msaa_coverage_pallas(trow2, bdr, ns, has_evenodd=has_evenodd)
     ends = jnp.maximum(starts[1:] - 1, 0)
-    cov_t = out_t[ends]                                  # (F, 256)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
-    return jnp.where(has_t[:, None], cov_t, cov_empty)
+    return out_t, ends, has_t, cov_empty
+
+
+def _msaa_coverage_at(parts, fidx, valid):
+    """Assemble coverage rows for fragments fidx from _msaa_coverage_device
+    parts with a single (len(fidx), 256) row gather."""
+    out_t, ends, has_t, cov_empty = parts
+    cov = jnp.where(has_t[fidx][:, None], out_t[ends[fidx]],
+                    cov_empty[fidx])
+    return jnp.where(valid[:, None], cov, 0.0)
 
 
 def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
@@ -221,9 +234,12 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         ns = 8 if static.aa == "msaa8" else 16
         bdf = backdrop.astype(jnp.float32)
         if use_pallas():
-            coverage = _msaa_coverage_device(trow, seg_ids, starts, bdf,
-                                             rule, ns,
-                                             static.has_evenodd)
+            # Deferred assembly: keep (out_t, ends, has_t, cov_empty) and
+            # gather coverage rows once, post-fragment-sort.
+            msaa_parts = _msaa_coverage_device(trow, seg_ids, starts, bdf,
+                                               rule, ns,
+                                               static.has_evenodd)
+            coverage = None
         else:
             coverage = fine_xla.msaa_coverage_xla(seg_s, yedge_s, starts,
                                                   bdf, rule, ns)
@@ -250,7 +266,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # binary sample coverage: threshold at half coverage ~=
             # center-in-shape for straight edges (supersampling helper)
             coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
-    coverage = jnp.where(tvalid[:, None], coverage, 0.0)
+    if coverage is not None:
+        coverage = jnp.where(tvalid[:, None], coverage, 0.0)
 
     # --- cull + sort fragments by (local gtile, draw order) ---
     # Fragments with zero coverage everywhere (bbox tiles the shape never
@@ -265,7 +282,15 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     owned = tvalid & (tx < WT) & (ty >= ty_lo) & (ty < ty_lo + ht_local)
     overflow_live = jnp.int32(0)
     if static.n_live:
-        live = jnp.max(coverage, axis=1) > (1.0 / 512.0)
+        if coverage is None:
+            # Deferred msaa: a fragment can only cover pixels if it has
+            # touches or a visible backdrop. Keeping the rare
+            # all-cancelling fragment live costs a no-op composite;
+            # dropping the (F, 256) materialization saves a row gather.
+            _, _, has_t_m, cov_empty_m = msaa_parts
+            live = has_t_m | (cov_empty_m[:, 0] > (1.0 / 512.0))
+        else:
+            live = jnp.max(coverage, axis=1) > (1.0 / 512.0)
         owned = owned & live
         n_live_actual = jnp.sum(owned.astype(jnp.int32))
         overflow_live = 16 * (n_live_actual > static.n_live).astype(jnp.int32)
@@ -275,7 +300,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         g_s = g_s[:static.n_live]
         tpath_s = tpath_s[:static.n_live]
         fidx_s = fidx_s[:static.n_live]
-    coverage_s = coverage[fidx_s]      # 1 KB rows — 4x cheaper than src rows
+    if coverage is None:
+        coverage_s = _msaa_coverage_at(msaa_parts, fidx_s, tvalid[fidx_s])
+    else:
+        coverage_s = coverage[fidx_s]  # 1 KB rows — 4x cheaper than src rows
     overflow = geom_overflow + 4 * touches["overflow"] \
         + 8 * overflow_tiles + overflow_live
     out = {
