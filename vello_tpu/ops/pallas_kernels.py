@@ -825,3 +825,109 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
         interpret=interpret,
     )(starts, src_sorted, base_premul[None, :])
     return out[:n_gtiles]
+
+
+def _fine_cov_kernel(starts_ref,       # scalar prefetch: (Gpad+1,) i32
+                     cov_hbm,          # HBM: (F, 256) coverage rows
+                     col_hbm,          # HBM: (F, 128) premultiplied colors
+                                       # in cols 0..3 (HBM DMA slices must
+                                       # be 128-lane aligned)
+                     base_ref,         # VMEM: (1, 4) f32 premultiplied
+                     out_ref,          # VMEM out: (FINE_TB, 4, 256)
+                     cov_buf, col_buf, src_chunk, win_ref, sem, sem2):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        win_ref[0] = -1
+
+    base = base_ref[0, :]
+
+    for tt in range(FINE_TB):
+        g = step * FINE_TB + tt
+        lo = starts_ref[g]
+        hi = starts_ref[g + 1]
+        dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
+        c0 = lo // FINE_CHUNK
+        c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
+
+        def chunk_body(k, dst, c0=c0, lo=lo, hi=hi):
+            cidx = c0 + k
+            cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
+
+            @pl.when(win_ref[0] != cidx)
+            def _():
+                cp = pltpu.make_async_copy(
+                    cov_hbm.at[pl.ds(cstart, FINE_CHUNK)], cov_buf, sem)
+                cp.start()
+                cp2 = pltpu.make_async_copy(
+                    col_hbm.at[pl.ds(cstart, FINE_CHUNK)], col_buf, sem2)
+                cp2.start()
+                cp.wait()
+                cp2.wait()
+                # expand color x coverage for the whole chunk, vectorized
+                # per channel (Mosaic's dynamic row reads need a 3D ref)
+                cov = cov_buf[...]
+                col = col_buf[...]
+                for c in range(4):
+                    src_chunk[:, c, :] = col[:, c:c + 1] * cov
+                win_ref[0] = cidx
+
+            i_lo = jnp.maximum(lo - cstart, 0)
+            i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
+
+            def frag_body(i, dst):
+                src = src_chunk[i]                        # (4, 256) premul
+                return src + dst * (1.0 - src[3:4, :])
+
+            return jax.lax.fori_loop(i_lo, i_hi, frag_body, dst)
+
+        dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
+        out_ref[tt] = dst
+
+
+def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
+                             n_gtiles, interpret=False):
+    """Solid-paint composite from (F, 256) coverage + (F, 4) premultiplied
+    colors: the (F, 4, 256) src tensor (805 MB at the bench tier) never
+    exists — rows are formed in VMEM. Same ordered src-over walk as
+    fine_composite_solid."""
+    if cov_sorted.shape[0] % FINE_CHUNK != 0:
+        pad = FINE_CHUNK - cov_sorted.shape[0] % FINE_CHUNK
+        cov_sorted = jnp.concatenate(
+            [cov_sorted, jnp.zeros((pad, NPX), cov_sorted.dtype)])
+        colors = jnp.concatenate(
+            [colors, jnp.zeros((pad, 4), colors.dtype)])
+    # 128-lane pad: Mosaic HBM DMA slices must be lane-tile aligned
+    colors = jnp.pad(colors, ((0, 0), (0, 128 - colors.shape[1])))
+    gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
+    if starts.shape[0] < gpad + 1:
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(starts[-1:],
+                                      (gpad + 1 - starts.shape[0],))])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gpad // FINE_TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((FINE_CHUNK, NPX), jnp.float32),
+            pltpu.VMEM((FINE_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((FINE_CHUNK, 4, NPX), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _fine_cov_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gpad, 4, NPX), jnp.float32),
+        interpret=interpret,
+    )(starts, cov_sorted, colors, base_premul[None, :])
+    return out[:n_gtiles]

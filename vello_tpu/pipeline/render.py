@@ -49,8 +49,8 @@ class PipelineStatic:
         return (self.height + TILE_H - 1) // TILE_H
 
 
-def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns,
-                          has_evenodd=True):
+def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
+                          ns, has_evenodd=True):
     """Fused sample-mask MSAA coverage on TPU.
 
     Fragments get DENSE ranks (cumsum of run starts in the sorted touch
@@ -84,16 +84,25 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, ns,
     out_t = msaa_coverage_pallas(trow2, bdr, ns, has_evenodd=has_evenodd)
     ends = jnp.maximum(starts[1:] - 1, 0)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
-    return out_t, ends, has_t, cov_empty
+    # One packed (F, 8) table: narrow per-fragment gathers cost the same
+    # ~10 ns/row as a full row gather, so four separate (F,) lookups would
+    # eat the win back. f32 holds ends exactly (tiers < 2^24).
+    pack = jnp.concatenate(
+        [ends.astype(jnp.float32)[:, None],
+         has_t.astype(jnp.float32)[:, None], cov_empty,
+         valid.astype(jnp.float32)[:, None],
+         jnp.zeros((ends.shape[0], 4), jnp.float32)], axis=1)
+    return out_t, pack
 
 
-def _msaa_coverage_at(parts, fidx, valid):
+def _msaa_coverage_at(parts, fidx):
     """Assemble coverage rows for fragments fidx from _msaa_coverage_device
-    parts with a single (len(fidx), 256) row gather."""
-    out_t, ends, has_t, cov_empty = parts
-    cov = jnp.where(has_t[fidx][:, None], out_t[ends[fidx]],
-                    cov_empty[fidx])
-    return jnp.where(valid[:, None], cov, 0.0)
+    parts with one (N, 8) pack gather + one (N, 256) row gather."""
+    out_t, pack = parts
+    pr = pack[fidx]
+    cov = jnp.where(pr[:, 1:2] > 0.0,
+                    out_t[pr[:, 0].astype(jnp.int32)], pr[:, 2:3])
+    return jnp.where(pr[:, 3:4] > 0.0, cov, 0.0)
 
 
 def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
@@ -237,7 +246,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # Deferred assembly: keep (out_t, ends, has_t, cov_empty) and
             # gather coverage rows once, post-fragment-sort.
             msaa_parts = _msaa_coverage_device(trow, seg_ids, starts, bdf,
-                                               rule, ns,
+                                               rule, tvalid, ns,
                                                static.has_evenodd)
             coverage = None
         else:
@@ -287,8 +296,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # touches or a visible backdrop. Keeping the rare
             # all-cancelling fragment live costs a no-op composite;
             # dropping the (F, 256) materialization saves a row gather.
-            _, _, has_t_m, cov_empty_m = msaa_parts
-            live = has_t_m | (cov_empty_m[:, 0] > (1.0 / 512.0))
+            _, pack_m = msaa_parts
+            live = (pack_m[:, 1] > 0.0) | (pack_m[:, 2] > (1.0 / 512.0))
         else:
             live = jnp.max(coverage, axis=1) > (1.0 / 512.0)
         owned = owned & live
@@ -301,7 +310,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         tpath_s = tpath_s[:static.n_live]
         fidx_s = fidx_s[:static.n_live]
     if coverage is None:
-        coverage_s = _msaa_coverage_at(msaa_parts, fidx_s, tvalid[fidx_s])
+        coverage_s = _msaa_coverage_at(msaa_parts, fidx_s)
     else:
         coverage_s = coverage[fidx_s]  # 1 KB rows — 4x cheaper than src rows
     overflow = geom_overflow + 4 * touches["overflow"] \
@@ -316,6 +325,14 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         "coverage_s": coverage_s,
     }
     if want_src:
+        solid_only = not any(k in static.kinds_present for k in (1, 2, 3))
+        if solid_only and not keep_clip_paths and use_pallas() \
+                and stripe is None:
+            # Solid fast path: the composite kernel forms color x coverage
+            # rows in VMEM — no (F, 4, NPX) src tensor (805 MB at the
+            # bench tier) is ever materialized.
+            out["col_s"] = bufs["paint_pack"][tpath_s][:, 1:5]   # (F, 4)
+            return out
         # Paint evaluated in SORTED order (post-sort): only scalar metadata
         # rides the permutation, never a (F, 4, NPX) tensor — and all the
         # per-path paint fields ride ONE packed row gather (row count, not
@@ -361,7 +378,8 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
 
     Returns (image (H, W, 4) premultiplied f32, overflow flags i32).
     """
-    from ..ops.pallas_kernels import fine_composite_solid, use_pallas
+    from ..ops.pallas_kernels import (fine_composite_solid,
+                                      fine_composite_solid_cov, use_pallas)
     base = bufs["base_color"]
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
     fr = prepare_fragments(bufs, static, stripe, geom_axis=geom_axis,
@@ -371,8 +389,13 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
         # the XLA suffix-sum/exp/segmented-sum composite passes.
         starts_g = segmented.searchsorted_dense(
             fr["g_s"], fr["n_loc"] + 1, side="left")
-        tiles = fine_composite_solid(fr["src_s"], base_premul, starts_g,
-                                     fr["n_loc"])
+        if "col_s" in fr:
+            tiles = fine_composite_solid_cov(
+                fr["coverage_s"], fr["col_s"], base_premul, starts_g,
+                fr["n_loc"])
+        else:
+            tiles = fine_composite_solid(fr["src_s"], base_premul, starts_g,
+                                         fr["n_loc"])
     else:
         tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
                                            fr["g_s"], fr["n_loc"],
