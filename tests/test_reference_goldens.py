@@ -1,0 +1,183 @@
+"""Validation against the REFERENCE's own golden PNGs + ported scene corpus.
+
+Two tiers:
+
+1. ``test_smoke_*``: pixel-diffs against the reference's committed smoke
+   snapshots (``vello_tests/snapshots/smoke/*.png`` — the only goldens
+   stored directly; the 35 + 504 main snapshots are git-lfs pointers and
+   unavailable offline). Scenes are rebuilt from the reference test source
+   (``vello_tests/tests/smoke_snapshots.rs`` / ``regression.rs``) — an
+   INDEPENDENT ground truth: no shared math with this repo at all.
+
+2. ``test_ported_scene_*``: the faithful ports of the reference's
+   snapshot-test scenes (``vello_tpu/scenes/reference_scenes.py``) rendered
+   through the device pipeline and the oracle, plus own-golden snapshots.
+
+Tolerance note: the reference asserts nv-flip mean < 0.0095; we use plain
+mean |diff| on [0,1] per channel, which is stricter for localized errors.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vello_tpu import RenderParams
+from vello_tpu.models.renderer import Renderer
+from vello_tpu.oracle import OracleRenderer
+from vello_tpu.scenes.reference_scenes import (REFERENCE_SCENES,
+                                               build_for_golden,
+                                               roboto_available)
+
+from snapshot import assert_snapshot
+
+SMOKE = "/root/reference/vello_tests/snapshots/smoke"
+
+
+def _golden(name):
+    from PIL import Image as PILImage
+    p = os.path.join(SMOKE, name + ".png")
+    if not os.path.exists(p):
+        pytest.skip(f"reference smoke golden {name} not present")
+    im = PILImage.open(p).convert("RGB")
+    return np.asarray(im).astype(np.float32) / 255.0
+
+
+def _render(scene, w, h, base=(0, 0, 0, 1)):
+    img = Renderer().render(scene, RenderParams(w, h, base_color=base))
+    # goldens are RGB over the base color (opaque)
+    return np.asarray(img)[..., :3]
+
+
+def test_smoke_filled_square():
+    """smoke_snapshots.rs filled_square: blue 6x6 rect at (10,10) c."""
+    from vello_tpu import Affine, Fill, Scene
+    from vello_tpu.kurbo import rect_path
+    from vello_tpu.peniko import palette
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.BLUE, None,
+           rect_path(7.0, 7.0, 13.0, 13.0))
+    img = _render(s, 20, 20)
+    g = _golden("filled_square")
+    assert np.abs(img - g).mean() < 0.01
+
+
+def test_smoke_filled_circle():
+    from vello_tpu import Affine, Fill, Scene
+    from vello_tpu.kurbo import circle_path
+    from vello_tpu.peniko import palette
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.BLUE, None,
+           circle_path(10.0, 10.0, 7.0))
+    img = _render(s, 20, 20)
+    g = _golden("filled_circle")
+    assert np.abs(img - g).mean() < 0.01
+
+
+@pytest.mark.parametrize("space", ["premultiplied", "unpremultiplied"])
+def test_smoke_gradient_color_alpha(space):
+    """regression.rs:152-210 — the WPT canvas alpha-gradient case: yellow
+    (a=0) -> blue (a=1) over white; interpolation alpha space changes the
+    curve."""
+    import dataclasses
+
+    from vello_tpu import Affine, Fill, Scene
+    from vello_tpu.kurbo import rect_path
+    from vello_tpu.peniko import Color, Gradient, stops
+    g = Gradient.linear((0.0, 0.0), (100.0, 0.0),
+                        stops((0.0, Color(1.0, 1.0, 0.0, 0.0)),
+                              (1.0, Color(0.0, 0.0, 1.0, 1.0))))
+    g = dataclasses.replace(g, alpha_space=space)
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), g, None,
+           rect_path(0.0, 0.0, 100.0, 50.0))
+    img = _render(s, 100, 50, base=(1.0, 1.0, 1.0, 1.0))
+    gold = _golden(f"gradient_color_alpha_{space}")
+    assert np.abs(img - gold).mean() < 0.005
+
+
+def test_smoke_glyph_gradient_brush_transform():
+    """smoke_snapshots.rs glyph_gradient_brush_transform: 'GRAD' runs with
+    a pad-extended gradient; second run translates the brush over the
+    glyphs."""
+    if not roboto_available():
+        pytest.skip("reference Roboto asset unavailable")
+    from vello_tpu import Affine, Fill, Scene
+    from vello_tpu.peniko import Gradient, palette, stops
+    from vello_tpu.scenes.reference_scenes import _ROBOTO
+    from vello_tpu.text import Font, layout_text
+    font = Font(_ROBOTO)
+    grad = Gradient.linear((200.0, 0.0), (320.0, 0.0),
+                           stops(palette.RED, palette.LIME, palette.BLUE))
+    s = Scene()
+    for ty, bt in [(38.0, None), (82.0, Affine.translate(-200.0, 0.0))]:
+        glyphs = layout_text(font, 40.0, "GRAD")
+        (s.draw_glyphs(font).font_size(40.0).brush(grad)
+         .transform(Affine.translate(8.0, ty)).brush_transform(bt)
+         .draw(Fill.NON_ZERO, glyphs))
+    img = _render(s, 150, 92)
+    g = _golden("glyph_gradient_brush_transform")
+    # text antialiasing differs slightly between renderers
+    assert np.abs(img - g).mean() < 0.02
+
+
+def test_smoke_data_image_roundtrip():
+    """regression.rs:36-100 — drawing the golden PNG itself at identity
+    with nearest sampling must reproduce it (issue #972)."""
+    import dataclasses
+
+    from PIL import Image as PILImage
+
+    from vello_tpu import Affine, Scene
+    from vello_tpu.peniko import Extend, Image, ImageQuality
+    p = os.path.join(SMOKE, "data_image_roundtrip.png")
+    if not os.path.exists(p):
+        pytest.skip("golden missing")
+    rgba = np.asarray(PILImage.open(p).convert("RGBA")).astype(np.uint8)
+    h, w = rgba.shape[:2]
+    for extend in (Extend.PAD, Extend.REFLECT, Extend.REPEAT):
+        img_brush = Image(data=rgba, x_extend=extend, y_extend=extend,
+                          quality=ImageQuality.LOW)
+        s = Scene()
+        s.draw_image(img_brush, Affine.identity())
+        img = _render(s, w, h)
+        g = np.asarray(PILImage.open(p).convert("RGB")).astype(
+            np.float32) / 255.0
+        assert np.abs(img - g).mean() < 0.005, extend
+
+
+# ---------------------------------------------------------------------------
+# Ported reference snapshot scenes: device vs oracle + own goldens.
+
+SIZES = {
+    "funky_paths": (600, 600),   # no resolution -> no scale-to-fit
+    "fill_types": (350, 175),
+    "gradient_extend": (200, 200),
+    "deep_blend": (200, 200),
+    "many_clips": (200, 200),
+    "clip_test": (512, 768),     # no resolution -> no scale-to-fit
+    "blurred_rounded_rect": (200, 200),
+    "longpathdash_butt": (220, 40),
+    "luminance_mask": (55, 55),
+}
+
+
+@pytest.mark.parametrize("name", sorted(REFERENCE_SCENES))
+def test_ported_scene_device_vs_oracle(name):
+    if name == "many_clips" and not os.environ.get("VELLO_SLOW_TESTS"):
+        # 300 nested clip layers: exercises the layered compositor at
+        # reference blend_grid scale; minutes-long until layer-region
+        # scoping lands. Run with VELLO_SLOW_TESTS=1.
+        pytest.skip("slow: 300-layer plan (VELLO_SLOW_TESTS=1 to run)")
+    if name in ("fill_types", "gradient_extend", "clip_test") \
+            and not roboto_available():
+        pytest.skip("needs reference Roboto asset")
+    w, h = SIZES[name]
+    scene, base = build_for_golden(name, w, h)
+    bc = (base.r, base.g, base.b, base.a) if base is not None \
+        else (0.0, 0.0, 0.0, 1.0)
+    params = RenderParams(w, h, base_color=bc)
+    dev = Renderer().render(scene, params)
+    orc = OracleRenderer().render(scene, params)
+    assert np.abs(dev - orc).mean() < 2.5e-3, name
+    assert_snapshot(f"ref_{name}", dev, mean_tol=0.002)

@@ -102,13 +102,14 @@ class RampCache:
         self._map: Dict[tuple, int] = {}
         self._ramps: List[np.ndarray] = []
 
-    def add(self, stops) -> int:
-        key = tuple((s.offset, s.color.r, s.color.g, s.color.b, s.color.a)
-                    for s in stops)
+    def add(self, stops, alpha_space: str = "unpremultiplied") -> int:
+        key = (alpha_space,) + tuple(
+            (s.offset, s.color.r, s.color.g, s.color.b, s.color.a)
+            for s in stops)
         if key in self._map:
             return self._map[key]
         ix = len(self._ramps)
-        self._ramps.append(make_ramp(stops))
+        self._ramps.append(make_ramp(stops, alpha_space=alpha_space))
         self._map[key] = ix
         return ix
 
@@ -385,7 +386,9 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
             color[p] = rec.brush.premultiplied()
         elif isinstance(rec.brush, Gradient):
             paint_kind[p] = PAINT_GRADIENT
-            row = ramp_cache.add(rec.brush.stops)
+            row = ramp_cache.add(rec.brush.stops,
+                             getattr(rec.brush, "alpha_space",
+                                     "unpremultiplied"))
             grad_rec[p] = pack_gradient(rec.brush, row)
             paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
                                       dtype=np.float32)

@@ -16,17 +16,29 @@ from ..peniko import Extend, Gradient, GradientKind, ColorStop
 RAMP_WIDTH = 512  # texels per gradient ramp (ramp_cache.rs:12)
 
 
-def make_ramp(stops, width: int = RAMP_WIDTH) -> np.ndarray:
-    """Build a (width, 4) f32 straight-alpha LUT from color stops (host side)."""
+def make_ramp(stops, width: int = RAMP_WIDTH,
+              alpha_space: str = "unpremultiplied") -> np.ndarray:
+    """Build a (width, 4) f32 straight-alpha LUT from color stops (host
+    side). alpha_space follows peniko InterpolationAlphaSpace (reference
+    ramp_cache.rs:119-155): "premultiplied" lerps premultiplied components
+    and unpremultiplies for the straight-alpha LUT (a == 0 rows stay 0, so
+    re-premultiplying at paint eval is exact)."""
     if len(stops) == 0:
         return np.zeros((width, 4), dtype=np.float32)
     offs = np.array([s.offset for s in stops], dtype=np.float64)
     cols = np.array([[s.color.r, s.color.g, s.color.b, s.color.a]
                      for s in stops], dtype=np.float64)
+    if alpha_space == "premultiplied":
+        cols = cols.copy()
+        cols[:, :3] *= cols[:, 3:4]
     t = np.linspace(0.0, 1.0, width)
     out = np.empty((width, 4), dtype=np.float64)
     for ch in range(4):
         out[:, ch] = np.interp(t, offs, cols[:, ch])
+    if alpha_space == "premultiplied":
+        a = out[:, 3:4]
+        out[:, :3] = np.divide(out[:, :3], a, out=np.zeros_like(out[:, :3]),
+                               where=a > 1e-12)
     return out.astype(np.float32)
 
 

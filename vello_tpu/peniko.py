@@ -90,6 +90,9 @@ class palette:
     SEA_GREEN = Color(0.180, 0.545, 0.341)
     TOMATO = Color(1.0, 0.388, 0.278)
     SLATE_BLUE = Color(0.416, 0.353, 0.804)
+    ALICE_BLUE = Color(240 / 255, 248 / 255, 1.0)
+    SLATE_GRAY = Color(112 / 255, 128 / 255, 144 / 255)
+    LIGHT_GREEN = Color(144 / 255, 238 / 255, 144 / 255)
 
 
 # ---------------------------------------------------------------------------
@@ -137,6 +140,11 @@ class Gradient:
     # sweep: start/end angle (radians) around p0
     a0: float = 0.0
     a1: float = 2.0 * np.pi
+    # ColorStop interpolation alpha space (peniko InterpolationAlphaSpace;
+    # reference ramp_cache.rs:119-155): "unpremultiplied" lerps straight
+    # RGBA; "premultiplied" lerps premultiplied components (the CSS/canvas
+    # gradient rule, vello issue #1056)
+    alpha_space: str = "unpremultiplied"
 
     @staticmethod
     def linear(p0, p1, stops, extend: Extend = Extend.PAD) -> "Gradient":

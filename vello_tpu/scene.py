@@ -142,7 +142,21 @@ class Scene:
                         alpha, transform, clip_path, fill_rule)
 
     def push_clip_layer(self, transform: Affine, clip_path: BezPath,
-                        fill_rule: Fill = Fill.NON_ZERO) -> None:
+                        fill_rule: Fill = Fill.NON_ZERO,
+                        style: Optional[Stroke] = None) -> None:
+        """Clip to a filled shape, or — when ``style`` is a Stroke — to the
+        stroked outline of the path (reference: Scene::push_clip_layer
+        accepts any StyleRef, scene.rs:172-210)."""
+        if style is not None:
+            outlines = expand_stroke(clip_path, style, transform)
+            merged = BezPath()
+            for poly in outlines:
+                merged.move_to(float(poly[0, 0]), float(poly[0, 1]))
+                for px, py in poly[1:]:
+                    merged.line_to(float(px), float(py))
+                merged.close()
+            clip_path = merged
+            fill_rule = Fill.NON_ZERO
         self.push_layer(BlendMode(Mix.CLIP, Compose.SRC_OVER), 1.0,
                         transform, clip_path, fill_rule)
 
@@ -172,6 +186,21 @@ class Scene:
         self.encoding.encode_transform(transform)
         self.encoding.encode_fill_style(Fill.NON_ZERO)
         if not self.encoding.encode_path(region, is_fill=True):
+            return
+        self.encoding.encode_draw(DrawRecord(
+            kind=DRAW_BLUR_RECT, brush=brush,
+            blur_rect=(rect.x0, rect.y0, rect.x1, rect.y1),
+            blur_radius=float(radius), blur_std_dev=float(std_dev)))
+
+    def draw_blurred_rounded_rect_in(self, shape: BezPath, transform: Affine,
+                                     rect: Rect, brush: Color,
+                                     radius: float, std_dev: float) -> None:
+        """Blurred rounded rect evaluated only inside an explicit region
+        shape (reference: Scene::draw_blurred_rounded_rect_in,
+        vello/src/scene.rs)."""
+        self.encoding.encode_transform(transform)
+        self.encoding.encode_fill_style(Fill.NON_ZERO)
+        if not self.encoding.encode_path(shape, is_fill=True):
             return
         self.encoding.encode_draw(DrawRecord(
             kind=DRAW_BLUR_RECT, brush=brush,

@@ -271,6 +271,7 @@ class DrawGlyphs:
         self._brush: Brush = Color(0, 0, 0, 1)
         self._transform = Affine.IDENTITY
         self._glyph_transform: Optional[Affine] = None
+        self._brush_transform: Optional[Affine] = None
         self._cache = _GLOBAL_CACHE
         self._raster = False
 
@@ -288,6 +289,12 @@ class DrawGlyphs:
 
     def glyph_transform(self, t: Optional[Affine]) -> "DrawGlyphs":
         self._glyph_transform = t
+        return self
+
+    def brush_transform(self, t: Optional[Affine]) -> "DrawGlyphs":
+        """Extra transform applied to the brush (gradient/image) relative
+        to the run transform (scene.rs DrawGlyphs::brush_transform)."""
+        self._brush_transform = t
         return self
 
     def raster(self, on: bool = True) -> "DrawGlyphs":
@@ -324,7 +331,8 @@ class DrawGlyphs:
                     if lpath.is_empty():
                         continue
                     brush = self._brush if color is None else color
-                    self.scene.fill(style, self._transform, brush, None,
+                    self.scene.fill(style, self._transform, brush,
+                                    self._brush_transform,
                                     lpath.transform(t))
                 continue
             outline = self._cache.outline(self.font, g.gid)
@@ -333,7 +341,8 @@ class DrawGlyphs:
             combined.extend(outline.transform(t))
         if combined.is_empty():
             return
-        self.scene.fill(style, self._transform, self._brush, None, combined)
+        self.scene.fill(style, self._transform, self._brush,
+                        self._brush_transform, combined)
 
 
 def layout_text(font: Font, size: float, text: str,
