@@ -362,3 +362,49 @@ def test_radial_gradient_degenerate_kinds():
     assert abs(b[96, 67, 0] - 0.1) < 0.02      # outside cone: base
     assert b[96, 108, 3] > 0.99                # inside cone: painted
     assert b[32, 96, 3] > 0.99                 # strip band painted
+
+
+def test_clip_chain_collapse():
+    """Simple clip chains (normal/src-over, single draw) collapse into
+    per-fragment clip-coverage multipliers: a 50-cell scene of 2-deep
+    nested clips compiles to ONE draws op, and a blend-mode layer still
+    gets real push/pop ops (reference many_clips / blend_grid scale)."""
+    from vello_tpu.encoding.resolve import resolve
+    from vello_tpu.kurbo import star_path
+    from vello_tpu.pipeline.layered import OP_DRAWS, build_layer_plan
+
+    s = Scene()
+    for i in range(50):
+        cx, cy = 14.0 * (i % 8) + 10, 14.0 * (i // 8) + 10
+        s.push_clip_layer(Affine.identity(), circle_path(cx, cy, 7))
+        s.push_clip_layer(Affine.rotate_about(0.3 * i, cx, cy),
+                          rect_path(cx - 6, cy - 6, cx + 6, cy + 6))
+        s.fill(Fill.NON_ZERO, Affine.identity(),
+               palette.RED.with_alpha(0.9), None, star_path(cx, cy, 5, 8, 3))
+        s.pop_layer()
+        s.pop_layer()
+    rs = resolve(s.encoding, PARAMS)
+    plan, dyn = build_layer_plan(rs)
+    assert [op[0] for op in plan.ops] == [OP_DRAWS]
+    assert plan.n_clip_levels == 2
+    dev = Renderer().render(s, PARAMS)
+    orc = OracleRenderer().render(s, PARAMS)
+    assert np.abs(dev - orc).mean() < 2e-3
+
+    # non-collapsible: a multiply-blend layer keeps push/pop ops
+    s2 = Scene()
+    s2.fill(Fill.NON_ZERO, Affine.identity(), palette.NAVY, None,
+            rect_path(0, 0, 64, 64))
+    from vello_tpu.peniko import BlendMode, Compose, Mix
+    s2.push_layer(BlendMode(Mix.MULTIPLY, Compose.SRC_OVER), 1.0,
+                  Affine.identity(), circle_path(32, 32, 20))
+    s2.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+            rect_path(10, 10, 54, 54))
+    s2.pop_layer()
+    rs2 = resolve(s2.encoding, PARAMS)
+    plan2, _ = build_layer_plan(rs2)
+    kinds = [op[0] for op in plan2.ops]
+    assert 1 in kinds and 2 in kinds  # OP_PUSH, OP_POP survive
+    dev2 = Renderer().render(s2, PARAMS)
+    orc2 = OracleRenderer().render(s2, PARAMS)
+    assert np.abs(dev2 - orc2).mean() < 2e-3

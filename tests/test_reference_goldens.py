@@ -164,11 +164,6 @@ SIZES = {
 
 @pytest.mark.parametrize("name", sorted(REFERENCE_SCENES))
 def test_ported_scene_device_vs_oracle(name):
-    if name == "many_clips" and not os.environ.get("VELLO_SLOW_TESTS"):
-        # 300 nested clip layers: exercises the layered compositor at
-        # reference blend_grid scale; minutes-long until layer-region
-        # scoping lands. Run with VELLO_SLOW_TESTS=1.
-        pytest.skip("slow: 300-layer plan (VELLO_SLOW_TESTS=1 to run)")
     if name in ("fill_types", "gradient_extend", "clip_test") \
             and not roboto_available():
         pytest.skip("needs reference Roboto asset")

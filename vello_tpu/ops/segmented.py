@@ -130,6 +130,34 @@ def row_prefix_sum(vals: jnp.ndarray, row_start: jnp.ndarray) -> jnp.ndarray:
     return c - c[row_start] + vals[row_start]
 
 
+def lookup_sorted(keys: jnp.ndarray, queries: jnp.ndarray):
+    """For each query, the index of an element of sorted ``keys`` equal to
+    it: returns (idx (Q,) i32, found (Q,) bool). Three sorts (merge trick)
+    instead of jnp.searchsorted's ~20 serialized gather rounds.
+
+    keys must be ascending, values in [0, 2**30); queries arbitrary order
+    (negative queries report found=False)."""
+    n = keys.shape[0]
+    q = queries.shape[0]
+    pos = jnp.arange(q, dtype=jnp.int32)
+    qc = jnp.clip(queries, 0, jnp.int32(2 ** 30 - 1))
+    # sort queries (carrying their position)
+    q_s, pos_s = jax.lax.sort((qc, pos), num_keys=1)
+    # merge: data first at equal values => idx = (#data <= q) - 1
+    packed = jnp.concatenate([keys.astype(jnp.int32) * 2, q_s * 2 + 1])
+    (m,) = jax.lax.sort((packed,), num_keys=1)
+    isq = (m & 1) == 1
+    j = jnp.arange(n + q, dtype=jnp.int32)
+    qslot = jnp.where(isq, j, jnp.int32(2 ** 30))
+    (qslot_s,) = jax.lax.sort((qslot,), num_keys=1)
+    idx_sq = qslot_s[:q] - jnp.arange(q, dtype=jnp.int32) - 1
+    # back to query order
+    _, idx = jax.lax.sort((pos_s, idx_sq), num_keys=1)
+    idx_c = jnp.clip(idx, 0, n - 1)
+    found = (idx >= 0) & (keys[idx_c] == queries)
+    return idx_c, found
+
+
 def scatter_sum_via_sort(vals: jnp.ndarray, ids: jnp.ndarray,
                          num_segments: int) -> jnp.ndarray:
     """Unsorted scatter-add replacement: sort (ids, vals), then segmented sum.

@@ -45,73 +45,156 @@ OP_POP = 2
 @dataclass(frozen=True)
 class LayerPlanStatic:
     """Static shape of the layer plan: op kinds + per-pop (mix, compose) +
-    per-push has_clip, + max stack depth."""
+    per-push has_clip, + max stack depth + collapsed clip-chain levels."""
 
     ops: Tuple[Tuple, ...]  # (kind, mix, compose, filter_tuple) per op
     max_depth: int
+    n_clip_levels: int = 0  # K of the collapsed per-path clip-chain table
 
 
-def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
-    """Host: flatten the draw stream into the static plan + dynamic values.
+_MAX_CHAIN = 8
 
-    rs: ResolvedScene. Returns (plan_static, plan_dynamic) where dynamic has
-    draw ranges (n_draws_ops, 2) i32, clip path ix (n_push,) i32 and alpha
-    (n_push,) f32.
-    """
-    ops = []
-    ranges = []
-    clip_ixs = []
-    alphas = []
-    # walk draws; geometric draws between layer events form a range
+
+def _build_layer_tree(rs):
+    """Pass 1: draw stream -> layer tree. Children are ('draw', path_ix)
+    tuples or child layer dicts."""
+    root = {"children": [], "info": None, "parent": None, "discard": False}
+    cur = root
     li = 0
-    run_lo = 0
-    path_cursor = 0
-    depth = 0
-    max_depth = 0
-    # stack of (mix, compose) to attach at pops
-    stack = []
-    def flush_draws():
-        nonlocal run_lo
-        ops.append((OP_DRAWS, 0, 0, None))
-        ranges.append((run_lo, path_cursor))
-        run_lo = path_cursor
-
     for d in range(len(rs.draw_kind)):
         k = int(rs.draw_kind[d])
         if k == DRAW_BEGIN_LAYER:
             info = rs.layers[li]
             li += 1
-            flush_draws()
-            if info.clip_path_ix >= 0:
-                path_cursor += 1  # the clip path consumes a path slot
-            run_lo = path_cursor
-            ops.append((OP_PUSH, 0, 0, None))
-            clip_ixs.append(info.clip_path_ix)
-            alphas.append(info.alpha)
-            stack.append((info.mix, info.compose, info.layer_filter))
-            depth += 1
-            max_depth = max(max_depth, depth)
+            node = {"children": [], "info": info, "parent": cur,
+                    "discard": False}
+            cur["children"].append(node)
+            cur = node
         elif k == DRAW_END_LAYER:
             li += 1
-            flush_draws()
-            mix, compose, lfilter = stack.pop() if stack else (0, 3, None)
-            ops.append((OP_POP, mix, compose,
-                        tuple(lfilter) if lfilter else None))
-            depth = max(depth - 1, 0)
+            if cur["parent"] is not None:
+                cur = cur["parent"]
         else:
-            if int(rs.draw_path_ix[d]) >= 0:
-                path_cursor += 1
-    flush_draws()
-    # unbalanced pushes: drop their content (reference drops open layers)
-    while stack:
-        ops.append((OP_POP, -1, -1, None))  # -1 = discard
-        stack.pop()
-    static = LayerPlanStatic(ops=tuple(ops), max_depth=max(max_depth, 1))
+            p = int(rs.draw_path_ix[d])
+            if p >= 0:
+                cur["children"].append(("draw", p))
+    # unbalanced open layers: content is discarded (reference drops them)
+    while cur is not root:
+        cur["discard"] = True
+        cur = cur["parent"]
+    return root
+
+
+def _collect_chain(node):
+    """If node is a collapsible clip chain — normal/clip mix, src-over,
+    no filter, exactly one child all the way down to a single geometric
+    draw — return (clip_slots, alpha_product, draw_path_ix). Masking a
+    SINGLE draw by clip coverage and alpha commutes exactly with src-over
+    compositing, so such layers need no tile buffers at all (the per-tile
+    cheapness of the reference's PTCL clip commands)."""
+    clips = []
+    alpha = 1.0
+    depth = 0
+    while True:
+        info = node["info"]
+        if (node["discard"] or info.layer_filter is not None
+                or int(info.mix) not in (0, 128) or int(info.compose) != 3
+                or len(node["children"]) != 1 or depth >= _MAX_CHAIN):
+            return None
+        if info.clip_path_ix >= 0:
+            clips.append(int(info.clip_path_ix))
+        alpha *= float(info.alpha)
+        child = node["children"][0]
+        if isinstance(child, tuple):
+            return clips, alpha, child[1]
+        node = child
+        depth += 1
+
+
+def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
+    """Host: flatten the draw stream into the static plan + dynamic values.
+
+    Collapsible clip chains become per-path clip-chain entries
+    (path_clips / path_alpha) instead of push/pop ops — a scene of simple
+    clips (reference many_clips) compiles to ONE draws op regardless of
+    layer count. Returns (plan_static, plan_dynamic): dynamic has draw
+    ranges (n_draws_ops, 2) i32, clip path ix (n_push,) i32, alpha
+    (n_push,) f32, and — when chains collapsed — path_clipalpha
+    (P, K+1) f32 [clip slots (-1 = none), alpha product].
+    """
+    import numpy as np
+    root = _build_layer_tree(rs)
+
+    ops = []
+    ranges = []
+    clip_ixs = []
+    alphas = []
+    P = max(int(len(rs.path_kind)), 1)
+    path_clips = np.full((P, _MAX_CHAIN), -1, dtype=np.float32)
+    path_alpha = np.ones(P, dtype=np.float32)
+    max_k = 0
+    state = {"run_lo": 0, "hi": 0, "depth": 0, "max_depth": 0}
+
+    def flush():
+        ops.append((OP_DRAWS, 0, 0, None))
+        ranges.append((state["run_lo"], state["hi"]))
+        state["run_lo"] = state["hi"]
+
+    def emit(children):
+        nonlocal max_k
+        for ch in children:
+            if isinstance(ch, tuple):
+                state["hi"] = ch[1] + 1
+                continue
+            chain = _collect_chain(ch)
+            if chain is not None:
+                clips, alpha, p = chain
+                path_clips[p, :len(clips)] = clips
+                path_alpha[p] = alpha
+                max_k = max(max_k, len(clips))
+                state["hi"] = p + 1   # range spans the clip slots + draw;
+                continue              # clip slots composite as no-ops
+            info = ch["info"]
+            flush()
+            if info.clip_path_ix >= 0:
+                state["hi"] = info.clip_path_ix + 1
+            state["run_lo"] = state["hi"]
+            ops.append((OP_PUSH, 0, 0, None))
+            clip_ixs.append(int(info.clip_path_ix))
+            alphas.append(float(info.alpha))
+            state["depth"] += 1
+            state["max_depth"] = max(state["max_depth"], state["depth"])
+            emit(ch["children"])
+            flush()
+            if ch["discard"]:
+                ops.append((OP_POP, -1, -1, None))
+            else:
+                ops.append((OP_POP, int(info.mix), int(info.compose),
+                            tuple(info.layer_filter)
+                            if info.layer_filter else None))
+            state["depth"] -= 1
+            state["run_lo"] = state["hi"]
+
+    emit(root["children"])
+    flush()
+    # bucket K so chain-length changes don't recompile at every step
+    k_lv = 0
+    for b in (1, 2, 4, _MAX_CHAIN):
+        if max_k <= b:
+            k_lv = b if max_k else 0
+            break
+    static = LayerPlanStatic(ops=tuple(ops),
+                             max_depth=max(state["max_depth"], 1),
+                             n_clip_levels=k_lv)
     dynamic = {
         "ranges": jnp.asarray(ranges or [(0, 0)], dtype=jnp.int32),
         "clip_ix": jnp.asarray(clip_ixs or [0], dtype=jnp.int32),
         "alpha": jnp.asarray(alphas or [1.0], dtype=jnp.float32),
     }
+    if k_lv:
+        dynamic["path_clipalpha"] = jnp.asarray(
+            np.concatenate([path_clips[:, :k_lv],
+                            path_alpha[:, None]], axis=1))
     return static, dynamic
 
 
@@ -123,6 +206,29 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
     base = bufs["base_color"]
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
     bottom = jnp.broadcast_to(base_premul[None, :, None], (n_loc, 4, npx))
+
+    if plan.n_clip_levels:
+        # Collapsed clip chains: multiply each fragment's coverage by its
+        # chain's clip-path coverages AT THE SAME TILE (plus the chain's
+        # alpha product). The clip fragment for (gtile, clip path) is found
+        # in the sorted fragment stream by key merge — no tile buffers.
+        from ..ops.segmented import lookup_sorted
+        pca = plan_dyn["path_clipalpha"]            # (P, K+1) f32
+        P = pca.shape[0]
+        pc_g = pca[fr["tpath_s"]]                   # (F, K+1) row gather
+        key = fr["g_s"] * (P + 1) + fr["tpath_s"]
+        cov0 = fr["coverage_s"]
+        cmul = pc_g[:, plan.n_clip_levels][:, None]  # alpha product
+        for k in range(plan.n_clip_levels):
+            cix = pc_g[:, k].astype(jnp.int32)
+            q = jnp.where(cix >= 0, fr["g_s"] * (P + 1) + cix, -1)
+            idx, found = lookup_sorted(key, q)
+            ck = jnp.where((cix >= 0)[:, None],
+                           jnp.where(found[:, None], cov0[idx], 0.0), 1.0)
+            cmul = cmul * ck
+        fr["coverage_s"] = cov0 * cmul
+        fr["src_s"] = fr["src_s"] * cmul[:, None, :]
+        fr["alpha_s"] = fr["alpha_s"] * cmul
 
     stack = [bottom]
     clips = []  # per-push clip coverage or None
