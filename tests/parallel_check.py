@@ -48,6 +48,59 @@ def main():
         ref = single.render_resolved(r, params)
         d = np.abs(imgs[i, :128, :128] - ref)
         assert d.max() < 1e-4, f"scene {i}: max {d.max()}"
+
+    # --- geometry sharding must SHRINK per-chip shapes (sp=4) ---
+    # (probe with a line-heavy scene so the tier sits above the per-shard
+    # floor and local/full shapes are distinct)
+    import jax
+    import jax.numpy as jnp
+    from vello_tpu.parallel.mesh import build_sharded_renderer
+    from vello_tpu.scenes.test_scenes import filled_mmark
+    mscene = filled_mmark(1, 128.0)
+    mrs = resolve(mscene.encoding, params)
+    mcaps = mrs.capacities(params)
+    n_sp = 4
+    nl_local = max(mcaps.n_lines // n_sp, 1024)
+    assert nl_local != mcaps.n_lines, "probe scene too small"
+    mstatic = PipelineStatic(caps_key=mcaps.key(), width=size, height=size,
+                             kinds_present=(0,))
+    mb = pack_buffers(mrs, mcaps, params)
+    fn = build_sharded_renderer(mstatic, mesh)
+    bufs_b = {k: jnp.stack([jnp.asarray(v)] * 2) for k, v in mb.items()}
+    hlo = fn.lower(bufs_b).as_text()
+    assert f"{nl_local}x4xf32" in hlo, \
+        f"per-shard line shape {nl_local}x4 not found - geometry not sharded"
+    assert f"{mcaps.n_lines}x4xf32" not in hlo, \
+        "full-capacity line arrays present per shard - geometry replicated"
+    # and the sharded render of that scene matches single-device
+    mimgs, movf = render_batch([mb] * 2, mstatic, mesh)
+    assert movf.sum() == 0, f"overflow {movf} (per-shard caps too tight)"
+    mref = single.render_resolved(mrs, params)
+    md = np.abs(mimgs[0, :128, :128] - mref)
+    assert md.max() < 1e-3, f"mmark sharded max {md.max()}"
+
+    # --- geometry-heavy mixed scene (strokes + gradients + images) ---
+    from vello_tpu.scenes.test_scenes import splash
+    sp_scene = splash(128.0)
+    rs = resolve(sp_scene.encoding, params)
+    caps2 = rs.capacities(params)
+    static2 = PipelineStatic(
+        caps_key=caps2.key(), width=size, height=size,
+        kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))))
+    b2 = pack_buffers(rs, caps2, params)
+    imgs2, ovf2 = render_batch([b2] * 2, static2, make_mesh(1, 4,
+                               jax.devices()[:4]))
+    assert ovf2.sum() == 0, f"overflow {ovf2} (per-shard caps too tight)"
+    ref2 = single.render_resolved(rs, params)
+    d2 = np.abs(imgs2[0, :128, :128] - ref2)
+    assert d2.max() < 1e-3, f"splash sharded max {d2.max()}"
+
+    # --- non-divisible sp must fail loudly, not mis-render ---
+    try:
+        build_sharded_renderer(static, make_mesh(1, 3, jax.devices()[:3]))
+        raise RuntimeError("expected assertion for non-divisible sp")
+    except AssertionError:
+        pass
     print("parallel_check OK")
 
 

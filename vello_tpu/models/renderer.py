@@ -97,6 +97,10 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         "seg_kind": _pad(rs.seg_kind, caps.n_segs),
         "n_segs": np.asarray(min(len(rs.seg_kind), caps.n_segs),
                              dtype=np.int32),
+        # real (unpadded) tag count: the geometry shards slice by
+        # ceil(real/shards) so per-shard load tracks content, not padding
+        "n_tags_real": np.asarray(min(len(rs.tags), caps.n_tags),
+                                  dtype=np.int32),
         "ramps": rs.ramps,
         "atlas": rs.atlas,
         "base_color": np.asarray(params.base_color, dtype=np.float32),

@@ -157,22 +157,39 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
             data4=bufs.get("data4"))
 
+        nl_local, nt_local, ne_local = caps.n_lines, caps.n_touches, n_edge
         if geom_axis is not None:
             # Slice the per-tag-slot arrays to this member's segment shard
-            # (the tag scan itself is global and cheap; padding is inert).
+            # (the tag scan itself is global and cheap; padding is inert),
+            # AND shrink the line/touch capacities by the shard count so
+            # per-chip geometry work actually scales 1/n (a shard holding
+            # more than its slice's share trips the overflow retry).
             k = jax.lax.axis_index(geom_axis)
             chunk = caps.n_tags // geom_shards
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k * chunk,
-                                                        chunk, 0)
+            # Real content concentrates in the first (unpadded) tag slots;
+            # static even slicing would overload shard 0. Slice at dynamic
+            # starts of ceil(real/shards) and mask slots outside the share
+            # (kind=0 slots produce no lines).
+            n_real = bufs.get("n_tags_real",
+                              jnp.int32(caps.n_tags)).astype(jnp.int32)
+            share = (n_real + geom_shards - 1) // geom_shards
+            start = jnp.minimum(k * share, jnp.int32(caps.n_tags - chunk))
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, 0)
             decoded = {key: sl(v) for key, v in decoded.items()}
+            gidx = start + jnp.arange(chunk, dtype=jnp.int32)
+            active = (gidx >= k * share) & (gidx < (k + 1) * share)
+            decoded["kind"] = jnp.where(active, decoded["kind"], 0)
+            nl_local = max(caps.n_lines // geom_shards, 1024)
+            nt_local = max(caps.n_touches // geom_shards, 1024)
+            ne_local = max(nl_local // 4, 256)
 
-        fl = flatten_ops.flatten(decoded, caps.n_lines, n_edge, W, H,
+        fl = flatten_ops.flatten(decoded, nl_local, ne_local, W, H,
                                  rpack=tiling.rect_pack(rects))
         lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
         lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
         lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
         lreal = jnp.concatenate([fl["line_real"], fl["edge_valid"]], axis=0)
-        touches = tiling.make_touches(lines, lpath, rects, caps.n_touches,
+        touches = tiling.make_touches(lines, lpath, rects, nt_local,
                                       line_rect=lrect, line_real=lreal)
         geom_overflow = fl["overflow"]
 
