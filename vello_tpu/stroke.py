@@ -121,6 +121,14 @@ def _offset_side(poly: np.ndarray, hw: float, join: str, miter_limit: float,
                 - tangents[i, 1] * tangents[i + 1, 0]
             # Turning right (cross > 0 in y-down) means this (left) side is
             # the outside of the turn and needs join geometry.
+            if cross < -1e-12:
+                # Inner side of the turn: route through the vertex itself.
+                # Naive inner offsets self-intersect when a neighbor segment
+                # is shorter than the half-width, and the flipped loop's
+                # winding punches a hole in the NonZero fill; inserting the
+                # centerline vertex keeps the outline winding positive
+                # (kurbo stroke.rs inner-join handling).
+                pts.append(poly[i + 1])
             if cross > 1e-12:
                 v = poly[i + 1]
                 if join == "round":
@@ -218,6 +226,30 @@ def expand_stroke(path: BezPath, style: Stroke,
     """
     scale = max(transform.scale_factor(), 1e-12)
     tol_local = tol / scale
+    hw = style.width / 2.0
+    # Offset-tolerance subdivision: flattening to centerline tolerance is
+    # NOT enough for the offset curves — a tangent step of dθ displaces the
+    # offset by ~hw·dθ²/8. Bound dθ by sqrt(8·tol/hw) using the control
+    # polygon's turn angle (which bounds the curve's tangent turn).
+    # (The role of the reference's offset-aware Euler-spiral subdivision,
+    # flatten.wgsl:328-630 / the GPU stroke-expansion paper.)
+    dtheta_max = math.sqrt(8.0 * tol_local / max(hw, tol_local, 1e-12))
+
+    def _turn(pts_ctl) -> float:
+        turn = 0.0
+        for i in range(len(pts_ctl) - 2):
+            ax, ay = (pts_ctl[i + 1][0] - pts_ctl[i][0],
+                      pts_ctl[i + 1][1] - pts_ctl[i][1])
+            bx, by = (pts_ctl[i + 2][0] - pts_ctl[i + 1][0],
+                      pts_ctl[i + 2][1] - pts_ctl[i + 1][1])
+            la = math.hypot(ax, ay)
+            lb = math.hypot(bx, by)
+            if la < 1e-12 or lb < 1e-12:
+                continue
+            c = max(-1.0, min(1.0, (ax * bx + ay * by) / (la * lb)))
+            turn += math.acos(c)
+        return turn
+
     outlines: List[np.ndarray] = []
     # Flatten WITHOUT closing open subpaths (stroke semantics differ from fill)
     for sub in path.subpaths():
@@ -236,11 +268,15 @@ def expand_stroke(path: BezPath, style: Stroke,
                 pts.append(cur)
             elif verb == QUAD_TO:
                 n = wang_quad_count(cur, vp[0], vp[1], tol_local)
+                n = max(n, int(math.ceil(
+                    _turn([cur, vp[0], vp[1]]) / dtheta_max)))
                 ts = np.arange(1, n + 1) / n
                 pts.extend(map(tuple, eval_quad(cur, vp[0], vp[1], ts)))
                 cur = vp[1]
             elif verb == CURVE_TO:
                 n = wang_cubic_count(cur, vp[0], vp[1], vp[2], tol_local)
+                n = max(n, int(math.ceil(
+                    _turn([cur, vp[0], vp[1], vp[2]]) / dtheta_max)))
                 ts = np.arange(1, n + 1) / n
                 pts.extend(map(tuple,
                                eval_cubic(cur, vp[0], vp[1], vp[2], ts)))
