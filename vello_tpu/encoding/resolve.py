@@ -120,42 +120,111 @@ class RampCache:
 
 
 class ImageAtlas:
-    """Shelf-packed RGBA atlas (image_cache.rs / multi_atlas.rs analog)."""
+    """Shelf-packed RGBA atlas with content-hash keys, generation-based
+    eviction, and a bounded extent (reference ``image_cache.rs:9-11,
+    113-182``: 1024 initial, 8192 max, eviction after 2 unused
+    generations; ``multi_atlas.rs`` page model collapses to vertical
+    shelf pages under one height cap here — TPU has no texture-size
+    limit, only a memory budget).
+
+    Keys are content hashes (an ``id()`` key can alias after GC); an
+    id-keyed weakref memo makes repeat adds of a live array O(1)."""
+
+    MAX_HEIGHT = 8192
 
     def __init__(self, width: int = 1024):
         self.width = width
         self.shelves: List[List[int]] = []  # [y, height, cursor_x]
         self.height = 0
-        self.entries: Dict[int, Tuple[int, int, int, int]] = {}
-        self.images: List[Tuple[Image, Tuple[int, int]]] = []
+        self.generation = 0
+        # content_key -> [x, y, w, h, last_used_generation, Image]
+        self.entries: Dict[tuple, list] = {}
+        self._id_memo: Dict[int, tuple] = {}
+        self.evictions = 0
 
-    def add(self, img: Image) -> Tuple[int, int, int, int]:
-        key = id(img.data)
-        if key in self.entries:
-            return self.entries[key]
-        h, w = img.data.shape[:2]
-        # find a shelf
-        pos = None
+    def begin_generation(self) -> None:
+        """Advance the frame generation (Resolver calls this per resolve);
+        entries untouched for 2 generations become evictable."""
+        self.generation += 1
+
+    def _content_key(self, data: np.ndarray) -> tuple:
+        import hashlib
+        import weakref
+        memo = self._id_memo.get(id(data))
+        if memo is not None and memo[0]() is data:
+            return memo[1]
+        key = (data.shape[:2],
+               hashlib.sha1(np.ascontiguousarray(data).tobytes()).digest())
+        try:
+            self._id_memo[id(data)] = (weakref.ref(data), key)
+        except TypeError:
+            pass
+        return key
+
+    def _alloc(self, w: int, h: int):
         for shelf in self.shelves:
             if shelf[1] >= h and shelf[2] + w <= self.width:
-                pos = (shelf[2], shelf[0])
+                x = shelf[2]
                 shelf[2] += w
-                break
-        if pos is None:
+                return (x, shelf[0])
+        if self.height + h <= self.MAX_HEIGHT:
             y = self.height
             self.shelves.append([y, h, w])
             self.height += h
-            pos = (0, y)
-        self.entries[key] = (pos[0], pos[1], w, h)
-        self.images.append((img, pos))
-        return self.entries[key]
+            return (0, y)
+        return None
+
+    def _evict_and_repack(self) -> None:
+        """Drop entries unused for >= 2 generations, repack survivors
+        (tallest-first keeps shelves tight)."""
+        live = [(k, e) for k, e in self.entries.items()
+                if e[4] >= self.generation - 1]
+        self.shelves = []
+        self.height = 0
+        self.entries = {}
+        self._id_memo = {}
+        self.evictions += 1
+        for k, e in sorted(live, key=lambda kv: -kv[1][3]):
+            img = e[5]
+            h, w = img.data.shape[:2]
+            pos = self._alloc(w, h)
+            if pos is None:
+                raise RuntimeError(
+                    f"image atlas overflow: live images exceed "
+                    f"{self.width}x{self.MAX_HEIGHT}")
+            self.entries[k] = [pos[0], pos[1], w, h, e[4], img]
+
+    def add(self, img: Image) -> Tuple[int, int, int, int]:
+        key = self._content_key(img.data)
+        e = self.entries.get(key)
+        if e is not None:
+            e[4] = self.generation
+            return tuple(e[:4])
+        h, w = img.data.shape[:2]
+        if w > self.width or h > self.MAX_HEIGHT:
+            raise ValueError(f"image {w}x{h} exceeds atlas extent "
+                             f"{self.width}x{self.MAX_HEIGHT}")
+        pos = self._alloc(w, h)
+        if pos is None:
+            self._evict_and_repack()
+            pos = self._alloc(w, h)
+            if pos is None:
+                raise RuntimeError(
+                    f"image atlas overflow: live images exceed "
+                    f"{self.width}x{self.MAX_HEIGHT}")
+        self.entries[key] = [pos[0], pos[1], w, h, self.generation, img]
+        return tuple(self.entries[key][:4])
 
     def array(self) -> np.ndarray:
-        if not self.images:
+        if not self.entries:
             return np.zeros((1, 1, 4), dtype=np.float32)
-        out = np.zeros((self.height, self.width, 4), dtype=np.float32)
-        for img, (x, y) in self.images:
-            h, w = img.data.shape[:2]
+        # pad the height to a tier so atlas growth doesn't retrace the
+        # pipeline at every new image
+        hpad = 64
+        while hpad < self.height:
+            hpad *= 2
+        out = np.zeros((hpad, self.width, 4), dtype=np.float32)
+        for x, y, w, h, _, img in self.entries.values():
             rgba = img.data.astype(np.float32) / 255.0
             rgba[..., :3] *= rgba[..., 3:4]  # premultiply
             out[y:y + h, x:x + w] = rgba
@@ -298,6 +367,7 @@ class Resolver:
 
     def resolve(self, encoding: Encoding,
                 params: RenderParams) -> "ResolvedScene":
+        self.atlas.begin_generation()
         return _resolve_impl(encoding, params, self.ramp_cache, self.atlas)
 
 

@@ -151,9 +151,10 @@ class GlyphCache:
 
     def outline(self, font: Font, gid: int) -> BezPath:
         key = (font.id, gid)
-        got = self._cache.get(key)
+        got = self._cache.pop(key, None)
         if got is not None:
             self.hits += 1
+            self._cache[key] = got   # re-insert: most-recently-used at end
             return got
         self.misses += 1
         name = font.glyph_order[gid]
@@ -170,7 +171,8 @@ class GlyphCache:
             pen = _PathPen()
             rp.replay(pen)
         if len(self._cache) >= self.max_entries:
-            self._cache.clear()  # simple epoch eviction
+            # LRU eviction (dicts preserve insertion order; hits re-insert)
+            self._cache.pop(next(iter(self._cache)))
         self._cache[key] = pen.path
         return pen.path
 
