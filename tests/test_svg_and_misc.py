@@ -164,3 +164,20 @@ def test_glyph_raster_cache():
     n0 = len(_GLOBAL_RASTER_CACHE._cache)
     OracleRenderer().render(scene(True), params)   # repeat: all cache hits
     assert len(_GLOBAL_RASTER_CACHE._cache) == n0
+
+
+def test_renderer_profile_stages():
+    """Renderer.profile returns per-stage device ms from one jitted frame
+    (named-scope trace attribution); empty dict is acceptable on backends
+    that emit no device trace rows (virtual CPU)."""
+    from vello_tpu import Affine, Fill, RenderParams, Scene
+    from vello_tpu.kurbo import circle_path
+    from vello_tpu.models.renderer import Renderer
+    from vello_tpu.peniko import palette
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           circle_path(32, 32, 20))
+    st = Renderer().profile(s, RenderParams(64, 64))
+    assert isinstance(st, dict)
+    if st:
+        assert "_total" in st and st["_total"] > 0

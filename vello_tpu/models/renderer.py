@@ -134,6 +134,33 @@ class Renderer:
         return (params.antialiasing in ("msaa8", "msaa16")
                 and bool(os.environ.get("VELLO_TPU_SUPERSAMPLE_MSAA")))
 
+    def profile(self, scene: Scene, params: RenderParams) -> dict:
+        """Per-stage DEVICE timings of one jitted frame (ms), from a
+        profiler trace of the real executable joined with the pipeline's
+        named scopes — not re-jitted stage prefixes, whose fusion differs.
+        (wgpu_engine.rs:396,572-575 timer queries / Renderer.profile_result
+        role.) Returns {} when the backend produces no device trace."""
+        from functools import partial as _p
+
+        from ..pipeline.render import render_frame
+        from ..utils.profile import profile_stages
+        rs = resolve(scene.encoding, params)
+        caps = rs.capacities(params)
+        kinds = tuple(sorted(set(int(k) for k in rs.paint_kind)))
+        static = PipelineStatic(
+            caps_key=caps.key(), width=params.width, height=params.height,
+            kinds_present=kinds, aa=params.antialiasing,
+            has_evenodd=bool((rs.fill_rule == 1).any()))
+        bufs = {k: jax.device_put(np.asarray(v))
+                for k, v in pack_buffers(rs, caps, params).items()}
+        compiled = jax.jit(_p(render_frame, static=static)).lower(
+            bufs).compile()
+        stages = profile_stages(compiled, bufs)
+        self.last_profile = {"stages": stages, "tier": dict(zip(
+            ["tags", "points", "segs", "lines", "touches", "path_tiles",
+             "paths", "transforms", "styles", "ramps"], caps.key()))}
+        return stages
+
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
         if self._use_supersample(params):
             return self._render_supersampled(scene, params)

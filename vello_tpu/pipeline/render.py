@@ -129,7 +129,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     WT_alloc = WT + 1
     W = float(WT_alloc * TILE_W)
 
-    rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
+    with jax.named_scope("s01_tile_alloc"):
+        rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
                       ).astype(jnp.int32)
     n_edge = max(caps.n_lines // 4, 256)
@@ -145,12 +146,14 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     if fused_geom:
         # Fused Pallas geometry: host-compacted segments -> line pack ->
         # touches, no expansion sorts and no per-element row gathers.
-        ff = flatten_ops.flatten_fused(
-            bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
-            bufs["seg_path"], bufs["n_segs"], caps.n_lines, W, H,
-            tiling.rect_pack(rects))
-        touches = tiling.make_touches_from_linepack(
-            ff["linepack"], ff["total_lines"], caps.n_touches, n_edge)
+        with jax.named_scope("s02_flatten"):
+            ff = flatten_ops.flatten_fused(
+                bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
+                bufs["seg_path"], bufs["n_segs"], caps.n_lines, W, H,
+                tiling.rect_pack(rects))
+        with jax.named_scope("s03_touch_expand"):
+            touches = tiling.make_touches_from_linepack(
+                ff["linepack"], ff["total_lines"], caps.n_touches, n_edge)
         geom_overflow = ff["overflow"] + 2 * touches["overflow_edges"]
     else:
         decoded = pathtag.decode_and_transform(
@@ -205,8 +208,9 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             [touches["seg"], touches["y_edge"][:, None],
              touches["backdrop_val"][:, None]], axis=-1)      # (T, 6)
     tix = jnp.arange(tpack.shape[0], dtype=jnp.int32)
-    ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
-    trow = tpack[tix_s]
+    with jax.named_scope("s04_coarse_sort"):
+        ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
+        trow = tpack[tix_s]
     seg_s = trow[:, :4]
     yedge_s = trow[:, 4]
     bdval_s = trow[:, 5]
@@ -215,7 +219,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     # backdrop-delta channel (deltas target ftile+1 => roll by one tile).
     from ..ops.pallas_kernels import coverage_cumsum_pallas, use_pallas
     from ..ops.segmented import segment_starts, segment_sum_from_starts
-    starts = segment_starts(seg_ids, caps.n_path_tiles)
+    with jax.named_scope("s05_segment_starts"):
+        starts = segment_starts(seg_ids, caps.n_path_tiles)
     bd_sum = segment_sum_from_starts(bdval_s, starts)
     if geom_axis is not None:
         # Backdrop deltas are additive across segment shards.
@@ -251,6 +256,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     backdrop = cbd - bdpack[:, 0] + bdpack[:, 1]
     rule = tmrow[:, 5][:, None]
 
+    cov_scope = jax.named_scope("s06_coverage")
+    cov_scope.__enter__()
     if static.aa in ("msaa8", "msaa16"):
         # Sample-mask MSAA: per-sample winding, fill rule per sample, box
         # resolve (fine.wgsl fill_path_ms role).
@@ -294,6 +301,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             coverage = jnp.where(coverage >= 0.5, 1.0, 0.0)
     if coverage is not None:
         coverage = jnp.where(tvalid[:, None], coverage, 0.0)
+    cov_scope.__exit__(None, None, None)
 
     # --- cull + sort fragments by (local gtile, draw order) ---
     # Fragments with zero coverage everywhere (bbox tiles the shape never
@@ -321,15 +329,17 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         n_live_actual = jnp.sum(owned.astype(jnp.int32))
         overflow_live = 16 * (n_live_actual > static.n_live).astype(jnp.int32)
     gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
-    g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
+    with jax.named_scope("s07_fragment_sort"):
+        g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
     if static.n_live:
         g_s = g_s[:static.n_live]
         tpath_s = tpath_s[:static.n_live]
         fidx_s = fidx_s[:static.n_live]
-    if coverage is None:
-        coverage_s = _msaa_coverage_at(msaa_parts, fidx_s)
-    else:
-        coverage_s = coverage[fidx_s]  # 1 KB rows — 4x cheaper than src rows
+    with jax.named_scope("s08_coverage_assembly"):
+        if coverage is None:
+            coverage_s = _msaa_coverage_at(msaa_parts, fidx_s)
+        else:
+            coverage_s = coverage[fidx_s]  # 1 KB rows, 4x cheaper than src
     overflow = geom_overflow + 4 * touches["overflow"] \
         + 8 * overflow_tiles + overflow_live
     out = {
@@ -356,14 +366,16 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         # width, is what a TPU gather costs).
         txy_s = jnp.stack([tx, ty], axis=-1)[fidx_s]     # (F, 2)
         prow = bufs["paint_pack"][tpath_s]               # (F, 40)
-        src_s = fine_xla.eval_paints(
-            (txy_s[:, 0] * TILE_W).astype(jnp.float32),
-            (txy_s[:, 1] * TILE_H).astype(jnp.float32),
-            prow[:, 0].astype(jnp.int32), prow[:, 1:5],
-            prow[:, 5:17], prow[:, 17:23],
-            prow[:, 23:31], prow[:, 31:39],
-            bufs["ramps"], bufs["atlas"], frozenset(static.kinds_present))
-        src_s = src_s * coverage_s[:, None, :]           # (F, 4, NPX)
+        with jax.named_scope("s09_paint"):
+            src_s = fine_xla.eval_paints(
+                (txy_s[:, 0] * TILE_W).astype(jnp.float32),
+                (txy_s[:, 1] * TILE_H).astype(jnp.float32),
+                prow[:, 0].astype(jnp.int32), prow[:, 1:5],
+                prow[:, 5:17], prow[:, 17:23],
+                prow[:, 23:31], prow[:, 31:39],
+                bufs["ramps"], bufs["atlas"],
+                frozenset(static.kinds_present))
+            src_s = src_s * coverage_s[:, None, :]       # (F, 4, NPX)
         if keep_clip_paths:
             is_clip_s = prow[:, 39] != 0
             src_s = jnp.where(is_clip_s[:, None, None], 0.0, src_s)
@@ -406,17 +418,19 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
         # the XLA suffix-sum/exp/segmented-sum composite passes.
         starts_g = segmented.searchsorted_dense(
             fr["g_s"], fr["n_loc"] + 1, side="left")
-        if "col_s" in fr:
-            tiles = fine_composite_solid_cov(
-                fr["coverage_s"], fr["col_s"], base_premul, starts_g,
-                fr["n_loc"])
-        else:
-            tiles = fine_composite_solid(fr["src_s"], base_premul, starts_g,
-                                         fr["n_loc"])
+        with jax.named_scope("s10_composite"):
+            if "col_s" in fr:
+                tiles = fine_composite_solid_cov(
+                    fr["coverage_s"], fr["col_s"], base_premul, starts_g,
+                    fr["n_loc"])
+            else:
+                tiles = fine_composite_solid(fr["src_s"], base_premul,
+                                             starts_g, fr["n_loc"])
     else:
-        tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
-                                           fr["g_s"], fr["n_loc"],
-                                           base_premul)
+        with jax.named_scope("s10_composite"):
+            tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
+                                               fr["g_s"], fr["n_loc"],
+                                               base_premul)
     img = _tiles_to_image(tiles, static, fr["ht_local"], stripe is None)
     return img, fr["overflow"]
 
