@@ -42,17 +42,41 @@ class Font:
         self.glyph_order = self.tt.getGlyphOrder()
         self._cmap = self.tt.getBestCmap()
         self._hmtx = self.tt["hmtx"]
-        if self.variations and "fvar" in self.tt:
-            self._glyph_set = self.tt.getGlyphSet(location=self.variations)
-        else:
-            self._glyph_set = self.tt.getGlyphSet()
+        try:
+            if self.variations and "fvar" in self.tt:
+                self._glyph_set = self.tt.getGlyphSet(
+                    location=self.variations)
+            else:
+                self._glyph_set = self.tt.getGlyphSet()
+        except Exception:
+            self._glyph_set = None   # bitmap-only font (e.g. CBDT/CBLC)
         self.id = Font._next_id[0]
         Font._next_id[0] += 1
         self._colr = None
-        if "COLR" in self.tt and "CPAL" in self.tt \
-                and getattr(self.tt["COLR"], "version", 0) == 0:
+        colr_version = getattr(self.tt["COLR"], "version", 0) \
+            if "COLR" in self.tt else None
+        if colr_version == 0 and "CPAL" in self.tt:
             self._colr = self.tt["COLR"].ColorLayers
             self._cpal = self.tt["CPAL"].palettes
+        self._colr_v1 = None
+        self._has_colr_v1 = colr_version == 1 and "CPAL" in self.tt
+        self.has_bitmaps = ("CBDT" in self.tt and "CBLC" in self.tt) \
+            or "sbix" in self.tt
+
+    def colr_v1(self):
+        """Lazy COLR v1 paint-graph renderer (None if absent)."""
+        if self._has_colr_v1 and self._colr_v1 is None:
+            from .colr import ColrV1
+            self._colr_v1 = ColrV1(self)
+        return self._colr_v1
+
+    def bitmap_glyph(self, gid: int):
+        """(Image, bearing_x_px, bearing_y_px, ppem) from the best
+        CBDT/sbix strike, or None (glifo bitmap strikes role)."""
+        if not self.has_bitmaps:
+            return None
+        from .colr import bitmap_glyph
+        return bitmap_glyph(self, gid)
 
     def colr_layers(self, gid: int, palette: int = 0):
         """COLR v0 color-glyph layers: [(layer_gid, Color | None)] bottom
@@ -157,6 +181,8 @@ class GlyphCache:
             self._cache[key] = got   # re-insert: most-recently-used at end
             return got
         self.misses += 1
+        if font._glyph_set is None:
+            return BezPath()
         name = font.glyph_order[gid]
         glyph = font._glyph_set[name]
         pen = _PathPen()
@@ -178,6 +204,8 @@ class GlyphCache:
 
 
 _GLOBAL_CACHE = GlyphCache()
+_PIL_FONTS: Dict[tuple, object] = {}
+_HINT_CACHE: Dict[tuple, tuple] = {}
 
 
 class GlyphRasterCache:
@@ -276,6 +304,7 @@ class DrawGlyphs:
         self._brush_transform: Optional[Affine] = None
         self._cache = _GLOBAL_CACHE
         self._raster = False
+        self._hint = False
 
     def font_size(self, size: float) -> "DrawGlyphs":
         self._size = float(size)
@@ -299,6 +328,16 @@ class DrawGlyphs:
         self._brush_transform = t
         return self
 
+    def hint(self, on: bool = True) -> "DrawGlyphs":
+        """Grid-fitted (hinted) rendering for small solid-color text:
+        glyphs rasterize through FreeType's hinter (via PIL) and land on
+        integer pixel positions — the glifo hinting-cache role. Falls
+        back to vector outlines for non-solid brushes, glyph transforms,
+        or non-translation run transforms (the reference's own hinting
+        applicability rule, vello/src/scene.rs hint handling)."""
+        self._hint = bool(on)
+        return self
+
     def raster(self, on: bool = True) -> "DrawGlyphs":
         """Use the glyph raster atlas (bilinear image rects) instead of
         vector outlines — OptimizeSpeed analog. Requires a solid Color
@@ -308,10 +347,44 @@ class DrawGlyphs:
 
     def draw(self, style: Fill, glyphs: Iterable[Glyph]) -> None:
         scale = self._size / self.font.upem
+        t = self._transform
+        use_hint = (self._hint and isinstance(self._brush, Color)
+                    and self._glyph_transform is None
+                    and abs(t.coeffs[0] - 1.0) < 1e-9
+                    and abs(t.coeffs[1]) < 1e-9 and abs(t.coeffs[2]) < 1e-9
+                    and abs(t.coeffs[3] - 1.0) < 1e-9)
+        if use_hint:
+            drew_any = self._draw_hinted(style, glyphs)
+            if drew_any is not None:
+                return
         use_raster = (self._raster and isinstance(self._brush, Color)
                       and self._glyph_transform is None)
+        fg = self._brush if isinstance(self._brush, Color) \
+            else Color(0, 0, 0, 1)
+        colr1 = self.font.colr_v1() if hasattr(self.font, "colr_v1") \
+            else None
         combined = BezPath()
         for g in glyphs:
+            # bitmap strikes (CBDT/sbix): draw the best strike as an
+            # image rect scaled to the run size (glifo bitmap role)
+            if self.font.has_bitmaps:
+                bm = self.font.bitmap_glyph(g.gid)
+                if bm is not None:
+                    img, bx, by, ppem = bm
+                    s = self._size / ppem
+                    t = (self._transform
+                         @ Affine.translate(g.x + bx * s, g.y - by * s)
+                         @ Affine.scale(s))
+                    self.scene.draw_image(img, t)
+                    continue
+            # COLR v1 paint graph (scene.rs:957-1131 adapter role)
+            if colr1 is not None and colr1.has_glyph(g.gid):
+                t = (self._transform @ Affine.translate(g.x, g.y)
+                     @ Affine.scale(scale, -scale))
+                if self._glyph_transform is not None:
+                    t = t @ self._glyph_transform
+                colr1.emit(self.scene, g.gid, t, fg)
+                continue
             if use_raster and self.font.colr_layers(g.gid) is None:
                 img, (ox, oy) = _GLOBAL_RASTER_CACHE.image(
                     self.font, g.gid, self._size, self._brush)
@@ -345,6 +418,69 @@ class DrawGlyphs:
             return
         self.scene.fill(style, self._transform, self._brush,
                         self._brush_transform, combined)
+
+    def _draw_hinted(self, style, glyphs):
+        """FreeType-hinted raster path (solid brush, pure translation).
+        Returns None (caller falls back) when the font can't be loaded by
+        FreeType; otherwise draws and returns True."""
+        try:
+            from PIL import ImageFont
+        except ImportError:
+            return None
+        key = (self.font.path, int(round(self._size)))
+        pil = _PIL_FONTS.get(key)
+        if pil is None:
+            try:
+                pil = ImageFont.truetype(self.font.path,
+                                         int(round(self._size)))
+            except Exception:
+                return None
+            _PIL_FONTS[key] = pil
+        rev = getattr(self.font, "_rev_cmap", None)
+        if rev is None:
+            rev = {self.font.tt.getGlyphID(n): chr(cp)
+                   for cp, n in self.font._cmap.items()}
+            self.font._rev_cmap = rev
+        ascent, _ = pil.getmetrics()
+        tx, ty = self._transform.coeffs[4], self._transform.coeffs[5]
+        color = self._brush
+        import numpy as _np
+        for g in glyphs:
+            ch = rev.get(g.gid)
+            if ch is None:
+                continue
+            ck = (id(pil), ch, color.r, color.g, color.b, color.a)
+            ent = _HINT_CACHE.get(ck)
+            if ent is None:
+                mask = pil.getmask(ch, mode="L")
+                if mask.size[0] == 0 or mask.size[1] == 0:
+                    _HINT_CACHE[ck] = (None, 0, 0)
+                    continue
+                a = (_np.frombuffer(bytes(mask), dtype=_np.uint8)
+                     .reshape(mask.size[1], mask.size[0]))
+                bbox = pil.getbbox(ch)
+                rgba = _np.empty(a.shape + (4,), dtype=_np.uint8)
+                rgba[..., 0] = int(round(color.r * 255))
+                rgba[..., 1] = int(round(color.g * 255))
+                rgba[..., 2] = int(round(color.b * 255))
+                rgba[..., 3] = (a.astype(_np.float32)
+                                * color.a).astype(_np.uint8)
+                from .peniko import Image, ImageQuality
+                if len(_HINT_CACHE) > 4096:
+                    _HINT_CACHE.pop(next(iter(_HINT_CACHE)))
+                _HINT_CACHE[ck] = (Image(data=rgba,
+                                         quality=ImageQuality.LOW),
+                                   bbox[0], bbox[1])
+                ent = _HINT_CACHE[ck]
+            img, bx, by = ent
+            if img is None:
+                continue
+            # grid fit: integer device position; PIL masks sit at the
+            # glyph bbox, origin at the TOP of the line (baseline-ascent)
+            px = round(tx + g.x) + bx
+            py = round(ty + g.y) - ascent + by
+            self.scene.draw_image(img, Affine.translate(px, py))
+        return True
 
 
 def layout_text(font: Font, size: float, text: str,
