@@ -389,3 +389,262 @@ def build_for_golden(name: str, width: int, height: int):
         outer.append(inner, Affine.scale(factor))
         return outer, base
     return inner, base
+
+
+# test_scenes.rs:1045-1170 two_point_radial
+def two_point_radial(scene: Scene, params: SceneParams) -> None:
+    from ..kurbo import ellipse_path
+    colors = stops(palette.RED, palette.YELLOW,
+                   Color.from_rgba8(6, 85, 186))
+
+    def make(x0, y0, r0, x1, y1, r1, transform, extend):
+        w, h = 400.0, 200.0
+        rect = rect_path(0.0, 0.0, w, h)
+        scene.fill(Fill.NON_ZERO, transform, palette.WHITE, None, rect)
+        g = Gradient.radial((x1, y1), r1, colors, extend,
+                            center0=(x0, y0), radius0=r0)
+        scene.fill(Fill.NON_ZERO, transform, g, None, rect)
+        for cx, cy, r in ((x0, y0, r0 - 1.0), (x1, y1, r1 - 1.0)):
+            scene.stroke(Stroke(width=1.0), transform, palette.BLACK,
+                         None, ellipse_path(cx, cy, r, r))
+
+    rows = []
+    for i in range(3):
+        rows.append((140.0, 100.0, 20.0, 280.0, 100.0, 50.0,
+                     (i * 420.0 + 20.0, 20.0)))
+    for i in range(3):
+        rows.append((280.0, 100.0, 50.0, 140.0, 100.0, 20.0,
+                     (i * 420.0 + 20.0, 240.0)))
+    for i in range(3):
+        rows.append((140.0, 100.0, 50.0, 280.0, 100.0, 50.0,
+                     (i * 420.0 + 20.0, 460.0)))
+    for i in range(3):
+        rows.append((140.0, 125.0, 20.0, 190.0, 100.0, 95.0,
+                     (i * 420.0 + 20.0, 680.0)))
+    for i in range(3):
+        x0, y0, r0 = 140.0, 125.0, 20.0
+        x1, y1, r1 = 190.0, 100.0, 96.0
+        dx, dy = x0 - x1, y0 - y1
+        n = math.hypot(dx, dy)
+        p0 = (x1 + dx / n * (r1 - r0), y1 + dy / n * (r1 - r0))
+        rows.append((p0[0], p0[1], r0, x1, y1, r1,
+                     (i * 420.0 + 20.0, 900.0)))
+    modes = [Extend.PAD, Extend.REPEAT, Extend.REFLECT]
+    for j, (x0, y0, r0, x1, y1, r1, off) in enumerate(rows):
+        make(x0, y0, r0, x1, y1, r1, Affine.translate(*off), modes[j % 3])
+    params.resolution = (1300.0, 1200.0)
+
+
+# test_scenes.rs:1444-1530 conflation_artifacts
+def conflation_artifacts(scene: Scene, params: SceneParams) -> None:
+    N, S = 50.0, 4.0
+    scale = Affine.scale(S)
+    x = N + 0.5
+    y = N
+    bg = Color.from_rgba8(255, 194, 19)
+    fg = Color.from_rgba8(12, 165, 255)
+    tris = _path([
+        ("M", 0.0, 0.0), ("L", N, N), ("L", 0.0, N), ("L", 0.0, 0.0),
+        ("M", 0.0, 0.0), ("L", N, N), ("L", N, 0.0), ("L", 0.0, 0.0)])
+    scene.fill(Fill.NON_ZERO, Affine.translate(x, y) @ scale, fg, None,
+               tris)
+    y += S * N + 10.0
+    rects_opp = _path([
+        ("M", 0.0, 0.0), ("L", 0.0, N), ("L", N * 0.5, N),
+        ("L", N * 0.5, 0.0),
+        ("M", N * 0.5, 0.0), ("L", N, 0.0), ("L", N, N), ("L", N * 0.5, N)])
+    scene.fill(Fill.EVEN_ODD, Affine.translate(x, y) @ scale, bg, None,
+               rect_path(0.0, 0.0, N, N))
+    scene.fill(Fill.EVEN_ODD, Affine.translate(x, y) @ scale, fg, None,
+               rects_opp)
+    y += S * N + 10.0
+    rects_same = _path([
+        ("M", 0.0, 0.0), ("L", 0.0, N), ("L", N * 0.5, N),
+        ("L", N * 0.5, 0.0),
+        ("M", N * 0.5, 0.0), ("L", N * 0.5, N), ("L", N, N), ("L", N, 0.0)])
+    scene.fill(Fill.EVEN_ODD, Affine.translate(x, y) @ scale, bg, None,
+               rect_path(0.0, 0.0, N, N))
+    scene.fill(Fill.EVEN_ODD, Affine.translate(x, y) @ scale, fg, None,
+               rects_same)
+    params.resolution = (500.0, 700.0)
+
+
+# test_scenes.rs labyrinth (winding-robustness grid at fractional offset)
+_LAB_ROWS = [
+    [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    [0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 1, 1],
+    [0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 1, 1],
+    [1, 0, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0],
+    [0, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1, 1],
+    [1, 0, 0, 1, 0, 0, 0, 0, 1, 1, 1, 0],
+    [0, 1, 0, 1, 1, 1, 0, 0, 1, 1, 1, 0],
+    [1, 0, 1, 0, 1, 1, 1, 1, 0, 1, 1, 1],
+    [0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 1],
+    [0, 1, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0],
+    [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+]
+_LAB_COLS = [
+    [1, 1, 1, 1, 0, 1, 1, 1, 1, 1],
+    [0, 0, 1, 0, 0, 0, 1, 1, 1, 0],
+    [0, 1, 1, 0, 1, 1, 1, 0, 0, 1],
+    [1, 1, 0, 0, 0, 0, 1, 0, 1, 0],
+    [0, 0, 1, 0, 1, 0, 0, 0, 0, 1],
+    [0, 0, 1, 1, 1, 0, 0, 0, 1, 0],
+    [0, 1, 0, 1, 1, 1, 0, 0, 0, 0],
+    [1, 1, 1, 0, 1, 1, 1, 0, 1, 0],
+    [1, 1, 0, 1, 1, 0, 0, 0, 1, 0],
+    [0, 0, 1, 0, 0, 0, 0, 0, 0, 1],
+    [0, 0, 1, 1, 0, 0, 0, 0, 1, 0],
+    [0, 0, 0, 0, 0, 0, 1, 0, 0, 1],
+    [1, 1, 1, 1, 1, 1, 0, 1, 1, 1],
+]
+
+
+def labyrinth(scene: Scene, params: SceneParams) -> None:
+    p = BezPath()
+    for y, row in enumerate(_LAB_ROWS):
+        for x, flag in enumerate(row):
+            if flag:
+                p.move_to(x - 0.1, y + 0.1)
+                p.line_to(x + 1.1, y + 0.1)
+                p.line_to(x + 1.1, y - 0.1)
+                p.line_to(x - 0.1, y - 0.1)
+    for x, col in enumerate(_LAB_COLS):
+        for y, flag in enumerate(col):
+            if flag:
+                p.move_to(x - 0.1, y - 0.1)
+                p.line_to(x - 0.1, y + 1.1)
+                p.line_to(x + 0.1, y + 1.1)
+                p.line_to(x + 0.1, y - 0.1)
+    scene.fill(Fill.NON_ZERO,
+               Affine.translate(20.5, 20.5) @ Affine.scale(80.0),
+               Color.from_rgba8(0x70, 0x80, 0x80), None, p)
+    params.resolution = (1000.0, 1000.0)
+
+
+# test_scenes.rs robust_paths (unclosed/degenerate/sliver subpaths)
+def robust_paths(scene: Scene, params: SceneParams) -> None:
+    p = _path([
+        ("M", 16.0, 16.0), ("L", 32.0, 16.0), ("L", 32.0, 32.0),
+        ("L", 16.0, 32.0), ("Z",),
+        ("M", 48.0, 18.0), ("L", 64.0, 23.0), ("L", 64.0, 33.0),
+        ("L", 48.0, 38.0), ("Z",),
+        ("M", 80.0, 18.0), ("L", 82.0, 16.0), ("L", 94.0, 16.0),
+        ("L", 96.0, 18.0), ("L", 96.0, 30.0), ("L", 94.0, 32.0),
+        ("L", 82.0, 32.0), ("L", 80.0, 30.0), ("Z",),
+        ("M", 112.0, 16.0), ("L", 128.0, 16.0), ("L", 128.0, 32.0), ("Z",),
+        ("M", 144.0, 16.0), ("L", 160.0, 32.0), ("L", 144.0, 32.0), ("Z",),
+        ("M", 168.0, 8.0), ("L", 184.0, 8.0), ("L", 184.0, 24.0), ("Z",),
+        ("M", 200.0, 8.0), ("L", 216.0, 24.0), ("L", 200.0, 24.0), ("Z",),
+        ("M", 241.0, 17.5), ("L", 255.0, 17.5), ("L", 255.0, 19.5),
+        ("L", 241.0, 19.5), ("Z",),
+        ("M", 241.0, 22.5), ("L", 256.0, 22.5), ("L", 256.0, 24.5),
+        ("L", 241.0, 24.5), ("Z",)])
+    scene.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None, p)
+    scene.fill(Fill.EVEN_ODD, Affine.translate(300.0, 0.0), palette.LIME,
+               None, p)
+    p2 = _path([("M", 8.0, 4.0), ("L", 8.0, 40.0), ("L", 260.0, 40.0),
+                ("L", 260.0, 4.0), ("Z",)])
+    p3 = BezPath()
+    p3.verbs = list(p.verbs) + list(p2.verbs)
+    p3.points = list(p.points) + list(p2.points)
+    scene.fill(Fill.NON_ZERO, Affine.translate(0.0, 100.0), palette.YELLOW,
+               None, p3)
+    scene.fill(Fill.EVEN_ODD, Affine.translate(300.0, 100.0), palette.LIME,
+               None, p3)
+    params.resolution = (600.0, 150.0)
+
+
+# test_scenes.rs:1398-1436 render_blend_square + blend_grid
+def _blend_square(scene: Scene, mix: Mix, transform: Affine) -> None:
+    from ..kurbo import ellipse_path
+    rect = rect_path(0.0, 0.0, 200.0, 200.0)
+    linear = Gradient.linear((0.0, 0.0), (200.0, 0.0),
+                             stops(palette.BLACK, palette.WHITE))
+    scene.fill(Fill.NON_ZERO, transform, linear, None, rect)
+    for gx, gy, c in ((150.0, 0.0, Color.from_rgba8(255, 240, 64)),
+                      (175.0, 100.0, Color.from_rgba8(255, 96, 240)),
+                      (125.0, 200.0, Color.from_rgba8(64, 192, 255))):
+        radial = Gradient.radial((gx, gy), 100.0,
+                                 stops(c, c.with_alpha(0.0)))
+        scene.fill(Fill.NON_ZERO, transform, radial, None, rect)
+    colors = [palette.RED, palette.LIME, palette.BLUE]
+    scene.push_layer(BlendMode(Mix.NORMAL, Compose.SRC_OVER), 1.0,
+                     transform, rect)
+    for i, c in enumerate(colors):
+        lin = Gradient.linear((0.0, 0.0), (0.0, 200.0),
+                              stops(palette.WHITE, c))
+        scene.push_layer(BlendMode(mix, Compose.SRC_OVER), 1.0, transform,
+                         rect)
+        a = (transform @ Affine.translate(100.0, 100.0)
+             @ Affine.rotate(math.pi / 3.0 * (i * 2 + 1))
+             @ Affine.scale(1.0, 0.357)
+             @ Affine.translate(-100.0, -100.0))
+        scene.fill(Fill.NON_ZERO, a, lin, None,
+                   ellipse_path(100.0, 100.0, 90.0, 90.0))
+        scene.pop_layer()
+    scene.pop_layer()
+
+
+def blend_grid(scene: Scene, params: SceneParams) -> None:
+    mixes = [Mix.NORMAL, Mix.MULTIPLY, Mix.DARKEN, Mix.SCREEN,
+             Mix.LIGHTEN, Mix.OVERLAY, Mix.COLOR_DODGE, Mix.COLOR_BURN,
+             Mix.HARD_LIGHT, Mix.SOFT_LIGHT, Mix.DIFFERENCE, Mix.EXCLUSION,
+             Mix.HUE, Mix.SATURATION, Mix.COLOR, Mix.LUMINOSITY]
+    for ix, m in enumerate(mixes):
+        t = Affine.translate((ix % 4) * 225.0, (ix // 4) * 225.0)
+        _blend_square(scene, m, t)
+    params.resolution = (900.0, 900.0)
+
+
+# test_scenes.rs:772-777 cardioid_and_friends
+def cardioid_and_friends(scene: Scene, params: SceneParams) -> None:
+    # render_cardioid (test_scenes.rs:1302-1331)
+    n = 601
+    dth = math.pi * 2.0 / n
+    cx, cy, r = 1024.0, 768.0, 750.0
+    p = BezPath()
+    for i in range(1, n):
+        a0 = i * dth
+        a1 = ((i * 2) % n) * dth
+        p.move_to(cx + math.cos(a0) * r, cy + math.sin(a0) * r)
+        p.line_to(cx + math.cos(a1) * r, cy + math.sin(a1) * r)
+    scene.stroke(Stroke(width=2.0, start_cap="butt", end_cap="butt"),
+                 Affine.identity(), palette.BLUE, None, p)
+    # render_clip_test (test_scenes.rs:1333-1365): 16 nested clip wedges
+    N, X0, Y0, X1, Y1 = 16, 50.0, 450.0, 550.0, 950.0
+    step = 1.0 / (N + 1)
+    for i in range(N):
+        t = (i + 1) * step
+        clip = _path([("M", X0, Y0), ("L", X1, Y0),
+                      ("L", X1, Y0 + t * (Y1 - Y0)),
+                      ("L", X1 + t * (X0 - X1), Y1), ("L", X0, Y1), ("Z",)])
+        scene.push_clip_layer(Affine.identity(), clip)
+    scene.fill(Fill.NON_ZERO, Affine.identity(), palette.LIME, None,
+               rect_path(X0, Y0, X1, Y1))
+    for _ in range(N):
+        scene.pop_layer()
+
+    # render_alpha_test (test_scenes.rs:1367-1396)
+    def diamond(cx, cy):
+        return _path([("M", cx, cy - 50.0), ("L", cx + 50.0, cy),
+                      ("L", cx, cy + 50.0), ("L", cx - 50.0, cy), ("Z",)])
+    scene.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+               diamond(1024.0, 100.0))
+    scene.fill(Fill.NON_ZERO, Affine.identity(),
+               palette.LIME.with_alpha(0.5), None, diamond(1024.0, 125.0))
+    scene.push_clip_layer(Affine.identity(), diamond(1024.0, 150.0))
+    scene.fill(Fill.NON_ZERO, Affine.identity(),
+               palette.BLUE.with_alpha(0.5), None, diamond(1024.0, 175.0))
+    scene.pop_layer()
+    params.resolution = (2048.0, 1536.0)
+
+
+REFERENCE_SCENES.update({
+    "two_point_radial": two_point_radial,
+    "conflation_artifacts": conflation_artifacts,
+    "labyrinth": labyrinth,
+    "robust_paths": robust_paths,
+    "blend_grid": blend_grid,
+    "cardioid_and_friends": cardioid_and_friends,
+})
