@@ -116,7 +116,7 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=False):
 # the open fragment across blocks, resolves coverage per fragment row, and
 # maps it back to each fragment's LAST touch row of the (T, 256) output.
 
-CK_M = 112                 # touches per grid step (msaa)
+CK_M = 224                 # touches per grid step (msaa)
 WF_M = CK_M + 16           # fragment-window rows: touched-fragment ids are
                            # DENSE ranks in the sorted touch stream, so a
                            # CK-touch block spans <= CK+1 ranks (+8 align).
@@ -162,7 +162,8 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
     sxc = sxy_ref[0:1, :]                               # (1, ns*256)
     syc = sxy_ref[1:2, :]
     crossing = (syc >= ymin) & (syc < ymax)
-    xt = x0 + (syc - y0) * inv_dy * dx
+    a = inv_dy * dx                                     # narrow precompute
+    xt = x0 + (syc - y0) * a
     delta = jnp.where(crossing & (xt < sxc), sgn, 0.0) \
         + jnp.where(syc >= ye, sgn_dx, 0.0)             # (CK, ns*256)
 
@@ -769,12 +770,22 @@ def _fine_kernel(starts_ref,           # scalar prefetch: (Gpad+1,) i32
 
             i_lo = jnp.maximum(lo - cstart, 0)
             i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
+            n2 = (i_hi - i_lo) // 2
 
-            def frag_body(i, dst):
-                src = src_buf[i]                      # (4, 256) premul
+            def pair_body(k, dst):
+                i = i_lo + 2 * k
+                s0 = src_buf[i]                       # (4, 256) premul
+                s1 = src_buf[i + 1]
+                s01 = s1 + s0 * (1.0 - s1[3:4, :])    # s1 over s0
+                return s01 + dst * (1.0 - s01[3:4, :])
+
+            dst = jax.lax.fori_loop(0, n2, pair_body, dst)
+
+            def tail_body(i, dst):
+                src = src_buf[i]
                 return src + dst * (1.0 - src[3:4, :])
 
-            return jax.lax.fori_loop(i_lo, i_hi, frag_body, dst)
+            return jax.lax.fori_loop(i_lo + 2 * n2, i_hi, tail_body, dst)
 
         dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
         out_ref[tt] = dst
@@ -876,11 +887,25 @@ def _fine_cov_kernel(starts_ref,       # scalar prefetch: (Gpad+1,) i32
             i_lo = jnp.maximum(lo - cstart, 0)
             i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
 
-            def frag_body(i, dst):
-                src = src_chunk[i]                        # (4, 256) premul
+            # src-over is associative: compose PAIRS independently of dst
+            # first, halving the dependent-chain length of this
+            # latency-bound walk.
+            n2 = (i_hi - i_lo) // 2
+
+            def pair_body(k, dst):
+                i = i_lo + 2 * k
+                s0 = src_chunk[i]                         # (4, 256) premul
+                s1 = src_chunk[i + 1]
+                s01 = s1 + s0 * (1.0 - s1[3:4, :])        # s1 over s0
+                return s01 + dst * (1.0 - s01[3:4, :])
+
+            dst = jax.lax.fori_loop(0, n2, pair_body, dst)
+
+            def tail_body(i, dst):
+                src = src_chunk[i]
                 return src + dst * (1.0 - src[3:4, :])
 
-            return jax.lax.fori_loop(i_lo, i_hi, frag_body, dst)
+            return jax.lax.fori_loop(i_lo + 2 * n2, i_hi, tail_body, dst)
 
         dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
         out_ref[tt] = dst
