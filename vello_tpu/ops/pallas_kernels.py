@@ -730,7 +730,9 @@ FINE_CHUNK = 128  # fragments DMA'd per step (128*4KB = 512KB buffer)
 FINE_TB = 8       # gtiles composited per grid step (amortizes step overhead)
 
 
-def _fine_kernel(starts_ref,           # scalar prefetch: (Gpad+1,) i32
+def _fine_kernel(lo_ref,              # scalar prefetch: (Gpad,) i32 per-tile
+                                       # walk starts (occlusion-advanced)
+                 hi_ref,               # scalar prefetch: (Gpad,) i32 ends
                  src_hbm,              # HBM: (F, 4, 256) premultiplied src
                  base_ref,             # VMEM: (1, 4) f32 premultiplied
                  out_ref,              # VMEM out: (FINE_TB, 4, 256)
@@ -745,8 +747,8 @@ def _fine_kernel(starts_ref,           # scalar prefetch: (Gpad+1,) i32
 
     for tt in range(FINE_TB):
         g = step * FINE_TB + tt
-        lo = starts_ref[g]
-        hi = starts_ref[g + 1]
+        lo = lo_ref[g]
+        hi = hi_ref[g]
         dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
 
         # Walk chunk-aligned windows covering [lo, hi). The resident-window
@@ -797,7 +799,11 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
     (gtile, order) order; starts (G+1,) i32 per-gtile fragment ranges.
     Sequentially composites dst = src + dst*(1-a) per tile in VMEM —
     exact ordered src-over with no log/exp trick and none of the XLA
-    suffix/cumsum/gather passes. Returns (G, 4, 256) composited tiles."""
+    suffix/cumsum/gather passes. Returns (G, 4, 256) composited tiles.
+
+    ``starts`` may be (G+1,) contiguous ranges, or a (los, his) pair
+    where per-tile walk starts were advanced past occluded fragments
+    (the DepthBuffer role of vello_cpu/src/coarse/depth.rs)."""
     if src_sorted.shape[0] % FINE_CHUNK != 0:
         # Chunk windows must stay in bounds (dynamic slices clamp their
         # start, silently shifting the last tiles' fragment windows).
@@ -807,15 +813,10 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
         src_sorted = jnp.concatenate(
             [src_sorted,
              jnp.zeros((pad,) + src_sorted.shape[1:], src_sorted.dtype)])
-    # Pad the tile axis to the per-step batch; padded tiles read an empty
-    # fragment range (starts pads with its last value) and are sliced off.
-    gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
-    if starts.shape[0] < gpad + 1:
-        starts = jnp.concatenate(
-            [starts, jnp.broadcast_to(starts[-1:],
-                                      (gpad + 1 - starts.shape[0],))])
+    los, his = _los_his(starts, n_gtiles)
+    gpad = los.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(gpad // FINE_TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # src rows stay in HBM
@@ -834,11 +835,27 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gpad, 4, NPX), jnp.float32),
         interpret=interpret,
-    )(starts, src_sorted, base_premul[None, :])
+    )(los, his, src_sorted, base_premul[None, :])
     return out[:n_gtiles]
 
 
-def _fine_cov_kernel(starts_ref,       # scalar prefetch: (Gpad+1,) i32
+def _los_his(starts, n_gtiles):
+    """Normalize (G+1,) contiguous starts or a (los, his) pair into
+    FINE_TB-padded per-tile (los, his) arrays (padded tiles are empty)."""
+    if isinstance(starts, tuple):
+        los, his = starts
+    else:
+        los, his = starts[:-1], starts[1:]
+    gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
+    if los.shape[0] < gpad:
+        pad = gpad - los.shape[0]
+        los = jnp.concatenate([los, jnp.zeros(pad, los.dtype)])
+        his = jnp.concatenate([his, jnp.zeros(pad, his.dtype)])
+    return los, his
+
+
+def _fine_cov_kernel(lo_ref,           # scalar prefetch: (Gpad,) i32
+                     hi_ref,           # scalar prefetch: (Gpad,) i32
                      cov_hbm,          # HBM: (F, 256) coverage rows
                      col_hbm,          # HBM: (F, 128) premultiplied colors
                                        # in cols 0..3 (HBM DMA slices must
@@ -856,8 +873,8 @@ def _fine_cov_kernel(starts_ref,       # scalar prefetch: (Gpad+1,) i32
 
     for tt in range(FINE_TB):
         g = step * FINE_TB + tt
-        lo = starts_ref[g]
-        hi = starts_ref[g + 1]
+        lo = lo_ref[g]
+        hi = hi_ref[g]
         dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
         c0 = lo // FINE_CHUNK
         c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
@@ -925,13 +942,10 @@ def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
             [colors, jnp.zeros((pad, 4), colors.dtype)])
     # 128-lane pad: Mosaic HBM DMA slices must be lane-tile aligned
     colors = jnp.pad(colors, ((0, 0), (0, 128 - colors.shape[1])))
-    gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
-    if starts.shape[0] < gpad + 1:
-        starts = jnp.concatenate(
-            [starts, jnp.broadcast_to(starts[-1:],
-                                      (gpad + 1 - starts.shape[0],))])
+    los, his = _los_his(starts, n_gtiles)
+    gpad = los.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(gpad // FINE_TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -954,5 +968,5 @@ def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gpad, 4, NPX), jnp.float32),
         interpret=interpret,
-    )(starts, cov_sorted, colors, base_premul[None, :])
+    )(los, his, cov_sorted, colors, base_premul[None, :])
     return out[:n_gtiles]

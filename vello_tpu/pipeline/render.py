@@ -381,6 +381,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             src_s = jnp.where(is_clip_s[:, None, None], 0.0, src_s)
         out["src_s"] = src_s           # premultiplied paint*coverage (F,4,P)
         out["alpha_s"] = src_s[:, 3, :]
+        # opaque solid fragments drive occlusion culling downstream
+        out["opaque_s"] = (prow[:, 0] == 0.0) & (prow[:, 4] >= 1.0 - 1e-6)
+        if keep_clip_paths:
+            out["opaque_s"] = out["opaque_s"] & ~is_clip_s
     return out
 
 
@@ -401,6 +405,25 @@ def _tiles_to_image(tiles, static, ht_local, crop_h: bool):
     return img
 
 
+def occlusion_los(g_s, coverage_s, opaque, n_loc, starts_g):
+    """Advance each tile's composite-walk start to its LAST fragment that
+    is opaque and fully covers the tile — everything below is invisible
+    and never read (the DepthBuffer role of vello_cpu coarse/depth.rs).
+    Returns (los, his)."""
+    fcount = g_s.shape[0]
+    full = jnp.min(coverage_s, axis=1) >= 1.0 - 1e-6
+    cond = opaque & full & (g_s < n_loc)
+    # global running last-cover index; a stale index from an EARLIER tile
+    # is always < this tile's lo and clips to a no-op
+    m = jax.lax.cummax(
+        jnp.where(cond, jnp.arange(fcount, dtype=jnp.int32), -1))
+    lo0, hi0 = starts_g[:-1], starts_g[1:]
+    has = hi0 > lo0
+    cover = m[jnp.maximum(hi0 - 1, 0)]
+    los = jnp.where(has, jnp.clip(cover, lo0, hi0), lo0)
+    return los, hi0
+
+
 def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
                  geom_axis=None, geom_shards: int = 1):
     """Fast path: src-over-only scene (no layers).
@@ -418,14 +441,24 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
         # the XLA suffix-sum/exp/segmented-sum composite passes.
         starts_g = segmented.searchsorted_dense(
             fr["g_s"], fr["n_loc"] + 1, side="left")
+        # Occlusion culling (DepthBuffer role, vello_cpu coarse/depth.rs):
+        # advance each tile's walk to its LAST fully-covering opaque
+        # fragment — everything below is invisible and never read.
+        with jax.named_scope("s09b_occlusion"):
+            if "col_s" in fr:
+                opaque = fr["col_s"][:, 3] >= 1.0 - 1e-6
+            else:
+                opaque = fr["opaque_s"]
+            los, hi0 = occlusion_los(fr["g_s"], fr["coverage_s"], opaque,
+                                     fr["n_loc"], starts_g)
         with jax.named_scope("s10_composite"):
             if "col_s" in fr:
                 tiles = fine_composite_solid_cov(
-                    fr["coverage_s"], fr["col_s"], base_premul, starts_g,
+                    fr["coverage_s"], fr["col_s"], base_premul, (los, hi0),
                     fr["n_loc"])
             else:
                 tiles = fine_composite_solid(fr["src_s"], base_premul,
-                                             starts_g, fr["n_loc"])
+                                             (los, hi0), fr["n_loc"])
     else:
         with jax.named_scope("s10_composite"):
             tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
