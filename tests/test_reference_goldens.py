@@ -165,6 +165,10 @@ SIZES = {
     "robust_paths": (600, 150),
     "blend_grid": (225, 225),
     "cardioid_and_friends": (256, 192),
+    "image_sampling": (220, 220),
+    "image_sampling_bicubic": (280, 180),
+    "image_extend_modes_bilinear": (300, 300),
+    "image_extend_modes_nearest": (300, 300),
 }
 
 

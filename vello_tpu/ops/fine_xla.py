@@ -250,7 +250,7 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
             near = tex((ax + jnp.floor(ux + 0.5)).astype(jnp.int32),
                        (ay + jnp.floor(uy + 0.5)).astype(jnp.int32))
             img_rgba = near if img_rgba is None else \
-                jnp.where(qual[..., None] == 0, near, img_rgba)
+                jnp.where(qual == 0, near, img_rgba)
         if 12 in kinds_present:
             wx = cubic_weights(jnp, fx[..., 0])
             wy = cubic_weights(jnp, fy[..., 0])
@@ -263,7 +263,7 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
                 acc = acc + row * wy[j][..., None]
             cub = jnp.clip(acc, 0.0, 1.0)
             img_rgba = cub if img_rgba is None else \
-                jnp.where(qual[..., None] == 2, cub, img_rgba)
+                jnp.where(qual == 2, cub, img_rgba)
         img_p = (img_rgba * alpha).transpose(0, 2, 1)    # (N, 4, NPX)
         out = jnp.where((paint_kind == PAINT_IMAGE)[:, None, None],
                         img_p, out)

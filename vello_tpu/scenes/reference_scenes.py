@@ -648,3 +648,116 @@ REFERENCE_SCENES.update({
     "blend_grid": blend_grid,
     "cardioid_and_friends": cardioid_and_friends,
 })
+
+
+def _sample_image():
+    """2x2 RED/BLUE/CYAN/MAGENTA (test_scenes.rs sample_image_data)."""
+    import numpy as np
+    from ..peniko import Image, ImageQuality
+    px = np.array([[255, 0, 0, 255], [0, 0, 255, 255],
+                   [0, 255, 255, 255], [255, 0, 255, 255]],
+                  dtype=np.uint8).reshape(2, 2, 4)
+    return px
+
+
+def _bicubic_image():
+    import numpy as np
+    px = np.zeros((16, 16, 4), dtype=np.uint8)
+    for y in range(16):
+        for x in range(16):
+            c = (0, 0, 0) if ((x // 2) + (y // 2)) % 2 == 0 \
+                else (255, 255, 255)
+            if x == 8 or y == 8:
+                c = (255, 0, 0)
+            if x == y or x + y == 15:
+                c = (0, 0, 255)
+            if (x == 2 and y == 13) or (x == 13 and y == 2):
+                c = (0, 255, 0)
+            px[y, x] = (*c, 255)
+    return px
+
+
+# test_scenes.rs image_sampling (quality = bilinear default)
+def image_sampling(scene: Scene, params: SceneParams) -> None:
+    import dataclasses
+
+    from ..peniko import Image, ImageQuality
+    params.resolution = (1100.0, 1100.0)
+    params.base_color = palette.WHITE
+    img = Image(data=_sample_image(), quality=ImageQuality.MEDIUM)
+    c = math.cos(math.pi / 4.0)
+    sn = math.sin(math.pi / 4.0)
+    rot = Affine((c, sn, -sn, c, 0.0, 0.0))
+    k = 200.0 / math.sqrt(2.0)
+    scene.draw_image(img, Affine.translate(100.0, 100.0)
+                     @ Affine.scale(200.0))
+    scene.draw_image(img, Affine.translate(100.0, 600.0)
+                     @ Affine.scale(k) @ Affine.translate(1.0, 1.0)
+                     @ rot @ Affine.translate(-1.0, -1.0))
+    scene.draw_image(img, Affine.translate(600.0, 100.0)
+                     @ Affine.scale(100.0, 200.0))
+    skew = Affine((1.0, 0.25, 0.1, 1.0, 0.0, 0.0))
+    scene.draw_image(img, Affine.translate(600.0, 600.0)
+                     @ Affine.scale(200.0) @ skew)
+
+
+def image_sampling_bicubic(scene: Scene, params: SceneParams) -> None:
+    from ..peniko import Image, ImageQuality
+    params.resolution = (1400.0, 900.0)
+    params.base_color = palette.WHITE
+    data = _bicubic_image()
+    c5 = math.cos(math.pi / 5.0)
+    s5 = math.sin(math.pi / 5.0)
+    rot5 = Affine((c5, s5, -s5, c5, 0.0, 0.0))
+    skew2 = Affine((1.0, -0.15, 0.35, 1.0, 0.0, 0.0))
+    t1 = (Affine.translate(250.0, 270.0) @ Affine.scale(18.0, 14.0)
+          @ rot5 @ Affine.translate(-8.0, -8.0))
+    t2 = (Affine.translate(250.0, 670.0) @ Affine.scale(20.0, 10.0)
+          @ skew2 @ Affine.translate(-8.0, -8.0))
+    for t in (t1, t2):
+        for i, q in enumerate((ImageQuality.LOW, ImageQuality.MEDIUM,
+                               ImageQuality.HIGH)):
+            img = Image(data=data, quality=q)
+            scene.draw_image(img, Affine.translate(i * 420.0, 0.0) @ t)
+
+
+def _image_extend_modes(quality):
+    from ..peniko import Image
+
+    def build(scene: Scene, params: SceneParams) -> None:
+        params.resolution = (1500.0, 1500.0)
+        params.base_color = palette.WHITE
+        data = _sample_image()
+        off = Affine.translate(2.0, 2.0)
+        rect = rect_path(0.0, 0.0, 6.0, 6.0)
+        cases = [
+            (Extend.PAD, Extend.PAD, (100.0, 100.0)),
+            (Extend.REFLECT, Extend.REFLECT, (100.0, 800.0)),
+            (Extend.REPEAT, Extend.REPEAT, (800.0, 100.0)),
+            (Extend.REPEAT, Extend.REFLECT, (800.0, 800.0)),
+        ]
+        for xe, ye, (tx, ty) in cases:
+            img = Image(data=data, x_extend=xe, y_extend=ye,
+                        quality=quality)
+            scene.fill(Fill.NON_ZERO,
+                       Affine.translate(tx, ty) @ Affine.scale(100.0),
+                       img, off, rect)
+    return build
+
+
+def image_extend_modes_bilinear(scene, params):
+    from ..peniko import ImageQuality
+    _image_extend_modes(ImageQuality.MEDIUM)(scene, params)
+
+
+def image_extend_modes_nearest(scene, params):
+    from ..peniko import ImageQuality
+    _image_extend_modes(ImageQuality.LOW)(scene, params)
+
+
+REFERENCE_SCENES.update({
+    "image_sampling": image_sampling,
+    "image_sampling_bicubic": image_sampling_bicubic,
+    "image_extend_modes_bilinear": image_extend_modes_bilinear,
+    "image_extend_modes_nearest": image_extend_modes_nearest,
+})
