@@ -38,3 +38,27 @@ def test_tiger_device_matches_oracle():
     b = Renderer().render(scene, params)
     d = np.abs(a.astype(np.float64) - b.astype(np.float64))
     assert d.mean() < 2e-4 and d.max() < 0.06
+
+
+def test_gs_tiger_renders():
+    """The reference's Ghostscript tiger through the SVG loader + device
+    pipeline (BASELINE.md milestone config)."""
+    import os
+
+    import numpy as np
+
+    from vello_tpu import RenderParams
+    from vello_tpu.models.renderer import Renderer
+    from vello_tpu.oracle import OracleRenderer
+    from vello_tpu.scenes.test_scenes import gs_tiger
+
+    s = gs_tiger(128.0)
+    if s is None:
+        import pytest
+        pytest.skip("reference tiger asset unavailable")
+    params = RenderParams(128, 128, base_color=(1, 1, 1, 1))
+    dev = Renderer().render(s, params)
+    orc = OracleRenderer().render(s, params)
+    assert np.abs(dev - orc).mean() < 2.5e-3
+    from snapshot import assert_snapshot
+    assert_snapshot("gs_tiger", dev, mean_tol=0.002)

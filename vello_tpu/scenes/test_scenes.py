@@ -455,3 +455,23 @@ def filter_suite(size: float = 256.0) -> Scene:
 
 
 LAYER_SCENES["filter_suite"] = filter_suite
+
+
+def gs_tiger(size: float = 512.0, center: bool = True):
+    """The Ghostscript tiger via the SVG loader (the reference's flagship
+    vector asset, examples/assets/Ghostscript_Tiger.svg; BASELINE.md
+    milestone config). Returns None if the asset is unavailable."""
+    import os
+
+    from ..kurbo import Affine
+    from ..utils.svg import load_svg
+    path = "/root/reference/examples/assets/Ghostscript_Tiger.svg"
+    if not os.path.exists(path):
+        return None
+    inner = load_svg(path)
+    s = Scene()
+    # the tiger's artwork sits around (200..700, 180..700) in user units
+    k = size / 600.0
+    t = Affine.scale(k) @ Affine.translate(-150.0, -120.0)
+    s.append(inner, t)
+    return s
