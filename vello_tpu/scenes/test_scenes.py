@@ -470,8 +470,8 @@ def gs_tiger(size: float = 512.0, center: bool = True):
         return None
     inner = load_svg(path)
     s = Scene()
-    # the tiger's artwork sits around (200..700, 180..700) in user units
-    k = size / 600.0
-    t = Affine.scale(k) @ Affine.translate(-150.0, -120.0)
+    # artwork bounds in user units: x 2.8..198.4, y -4.0..204.9
+    k = size / 212.0
+    t = Affine.scale(k) @ Affine.translate(0.0, 5.0)
     s.append(inner, t)
     return s
