@@ -384,7 +384,7 @@ def test_clip_chain_collapse():
         s.pop_layer()
         s.pop_layer()
     rs = resolve(s.encoding, PARAMS)
-    plan, dyn = build_layer_plan(rs)
+    plan, dyn, _, _ = build_layer_plan(rs)
     assert [op[0] for op in plan.ops] == [OP_DRAWS]
     assert plan.n_clip_levels == 2
     dev = Renderer().render(s, PARAMS)
@@ -402,7 +402,7 @@ def test_clip_chain_collapse():
             rect_path(10, 10, 54, 54))
     s2.pop_layer()
     rs2 = resolve(s2.encoding, PARAMS)
-    plan2, _ = build_layer_plan(rs2)
+    plan2, _, _, _ = build_layer_plan(rs2)
     kinds = [op[0] for op in plan2.ops]
     assert 1 in kinds and 2 in kinds  # OP_PUSH, OP_POP survive
     dev2 = Renderer().render(s2, PARAMS)
@@ -463,3 +463,39 @@ def test_occlusion_culling_correct():
                                 (los, his), 4, interpret=True)
     np.testing.assert_allclose(np.asarray(adv2[0]), np.asarray(ref2[0]),
                                atol=1e-5)
+
+
+def test_layered_scan_structure_reuse():
+    """The plan-as-data layered pipeline compiles ONCE per bucketed
+    (op-count, depth) — different layer structures at the same buckets
+    reuse the executable (round-1: every structure recompiled)."""
+    from vello_tpu.pipeline import layered as L
+
+    def scene_with(n_layers, mix):
+        s = Scene()
+        s.fill(Fill.NON_ZERO, Affine.identity(), palette.NAVY, None,
+               rect_path(0, 0, 64, 64))
+        from vello_tpu.peniko import BlendMode, Compose
+        for i in range(n_layers):
+            s.push_layer(BlendMode(mix, Compose.SRC_OVER), 0.9,
+                         Affine.identity(), circle_path(20 + 6 * i, 32, 14))
+            s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+                   rect_path(4 * i, 10, 4 * i + 20, 50))
+        for _ in range(n_layers):
+            s.pop_layer()
+        return s
+
+    from vello_tpu.peniko import Mix
+    before = len(L._JIT_CACHE)
+    a = Renderer().render(scene_with(6, Mix.MULTIPLY), PARAMS)
+    n1 = len(L._JIT_CACHE)
+    # different structure, different mixes/alpha — same op/depth buckets
+    b = Renderer().render(scene_with(5, Mix.SCREEN), PARAMS)
+    n2 = len(L._JIT_CACHE)
+    assert n1 == before + 1
+    assert n2 == n1, "same-bucket structure recompiled"
+    # and both are correct vs the oracle
+    oa = OracleRenderer().render(scene_with(6, Mix.MULTIPLY), PARAMS)
+    ob = OracleRenderer().render(scene_with(5, Mix.SCREEN), PARAMS)
+    assert np.abs(a - oa).mean() < 2e-3
+    assert np.abs(b - ob).mean() < 2e-3

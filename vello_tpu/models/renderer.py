@@ -213,7 +213,7 @@ class Renderer:
         if has_layers:
             from ..pipeline.layered import (build_layer_plan,
                                             get_layered_pipeline)
-            plan, plan_dyn = build_layer_plan(rs)
+            plan, plan_dyn, scan_key, has_lfilter = build_layer_plan(rs)
         from ..encoding.config import next_tier_size
         # Live-fragment cap: coverage can't exceed the touched tiles (plus a
         # margin for backdrop-only interiors); retry bit 16 grows it.
@@ -249,8 +249,8 @@ class Renderer:
                         pack_buffers(rs, caps, params).items()}
                 object.__setattr__(rs, "_device_bufs", (cache_key, bufs))
             if has_layers:
-                img, overflow = get_layered_pipeline(static, plan)(
-                    bufs, plan_dyn)
+                img, overflow = get_layered_pipeline(
+                    static, plan, scan_key, has_lfilter)(bufs, plan_dyn)
             else:
                 img, overflow = get_pipeline(static)(bufs)
             overflow = int(jax.device_get(overflow))

@@ -191,3 +191,49 @@ def luminance_mask(xp, backdrop, fg):
 def src_over(xp, backdrop, src):
     """Premultiplied source-over (the hot default)."""
     return src + backdrop * (1.0 - src[..., 3:4])
+
+
+# (a0, a1, b0, b1): fa = a0 + a1*ab, fb = b0 + b1*as  (all Porter-Duff
+# coefficient pairs above are linear in the alphas)
+COMPOSE_TABLE = [
+    (0, 0, 0, 0),    # CLEAR
+    (1, 0, 0, 0),    # COPY
+    (0, 0, 1, 0),    # DEST
+    (1, 0, 1, -1),   # SRC_OVER
+    (1, -1, 1, 0),   # DEST_OVER
+    (0, 1, 0, 0),    # SRC_IN
+    (0, 0, 0, 1),    # DEST_IN
+    (1, -1, 0, 0),   # SRC_OUT
+    (0, 0, 1, -1),   # DEST_OUT
+    (0, 1, 1, -1),   # SRC_ATOP
+    (1, -1, 0, 1),   # DEST_ATOP
+    (1, -1, 1, -1),  # XOR
+    (1, 0, 1, 0),    # PLUS
+    (1, 0, 1, 0),    # PLUS_LIGHTER
+]
+
+
+def blend_mix_compose_dyn(backdrop, src, mix, compose):
+    """blend_mix_compose with TRACED (mix, compose) scalars — the
+    plan-as-data layered pipeline's pop op (jax only). mix dispatches via
+    lax.switch over the 16 W3C modes; compose via the linear coefficient
+    table."""
+    import jax
+    import jax.numpy as jnp
+    cb_rgb, ab = _unpremul(jnp, backdrop)
+    cs_rgb, as_ = _unpremul(jnp, src)
+    mixed = jax.lax.switch(
+        jnp.clip(mix, 0, 15),
+        [lambda cb, cs, m=m: mix_rgb(jnp, cb, cs, m) for m in range(16)],
+        cb_rgb, cs_rgb)
+    cs_eff = (1.0 - ab[..., None]) * cs_rgb + ab[..., None] * mixed
+    src_p = jnp.concatenate(
+        [cs_eff * as_[..., None], as_[..., None]], axis=-1)
+    tab = jnp.asarray(COMPOSE_TABLE, jnp.float32)
+    c = tab[jnp.clip(compose, 0, 13)]
+    fa = c[0] + c[1] * ab
+    fb = c[2] + c[3] * as_
+    out = src_p * fa[..., None] + backdrop * fb[..., None]
+    a = jnp.clip(out[..., 3:4], 0.0, 1.0)
+    rgb = jnp.clip(out[..., :3], 0.0, a)
+    return jnp.concatenate([rgb, a], axis=-1)

@@ -43,6 +43,17 @@ OP_POP = 2
 
 
 @dataclass(frozen=True)
+class LayerPlanScanKey:
+    """Compile key of the plan-as-data layered pipeline: only BUCKETED
+    sizes — layer structure lives in data, so animated/deep structures
+    reuse one executable (the round-1 compile-per-structure weakness)."""
+
+    n_ops: int        # bucketed op count
+    depth: int        # bucketed max stack depth
+    n_clip_levels: int
+
+
+@dataclass(frozen=True)
 class LayerPlanStatic:
     """Static shape of the layer plan: op kinds + per-pop (mix, compose) +
     per-push has_clip, + max stack depth + collapsed clip-chain levels."""
@@ -195,7 +206,141 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
         dynamic["path_clipalpha"] = jnp.asarray(
             np.concatenate([path_clips[:, :k_lv],
                             path_alpha[:, None]], axis=1))
-    return static, dynamic
+    # --- plan-as-data encoding (scan pipeline) ---
+    # op_tab rows: [kind, mix, compose, lo, hi, clip_ix]; kind 3 = NOP pad.
+    n_ops = len(ops)
+    nb = 4
+    while nb < n_ops:
+        nb *= 2
+    tab = np.zeros((nb, 6), dtype=np.int32)
+    tab[n_ops:, 0] = 3
+    op_alpha = np.ones(nb, dtype=np.float32)
+    d_i = p_i = 0
+    for i, (kind, mix, compose, lf) in enumerate(ops):
+        tab[i, 0] = kind
+        tab[i, 1] = mix
+        tab[i, 2] = compose
+        if kind == OP_DRAWS:
+            tab[i, 3:5] = ranges[d_i]
+            d_i += 1
+        elif kind == OP_PUSH:
+            tab[i, 5] = clip_ixs[p_i]
+            op_alpha[i] = alphas[p_i]
+            p_i += 1
+    dynamic["op_tab"] = jnp.asarray(tab)
+    dynamic["op_alpha"] = jnp.asarray(op_alpha)
+    db = 2
+    while db < static.max_depth:
+        db *= 2
+    scan_key = LayerPlanScanKey(n_ops=nb, depth=db, n_clip_levels=k_lv)
+    has_filter = any(op[3] is not None for op in ops)
+    return static, dynamic, scan_key, has_filter
+
+
+def _apply_clip_chains(fr, plan_dyn, n_levels: int) -> None:
+    """Collapsed clip chains: multiply each fragment's coverage by its
+    chain's clip-path coverages AT THE SAME TILE (plus the chain's alpha
+    product). The clip fragment for (gtile, clip path) is found in the
+    sorted fragment stream by key merge — no tile buffers."""
+    from ..ops.segmented import lookup_sorted
+    pca = plan_dyn["path_clipalpha"]            # (P, K+1) f32
+    P = pca.shape[0]
+    pc_g = pca[fr["tpath_s"]]                   # (F, K+1) row gather
+    key = fr["g_s"] * (P + 1) + fr["tpath_s"]
+    cov0 = fr["coverage_s"]
+    cmul = pc_g[:, n_levels][:, None]           # alpha product
+    for k in range(n_levels):
+        cix = pc_g[:, k].astype(jnp.int32)
+        q = jnp.where(cix >= 0, fr["g_s"] * (P + 1) + cix, -1)
+        idx, found = lookup_sorted(key, q)
+        ck = jnp.where((cix >= 0)[:, None],
+                       jnp.where(found[:, None], cov0[idx], 0.0), 1.0)
+        cmul = cmul * ck
+    fr["coverage_s"] = cov0 * cmul
+    fr["src_s"] = fr["src_s"] * cmul[:, None, :]
+    fr["alpha_s"] = fr["alpha_s"] * cmul
+
+
+def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
+                              static: PipelineStatic,
+                              key: LayerPlanScanKey, stripe=None):
+    """Plan-as-data layered compositor: ops are DATA driving a
+    lax.fori_loop over a fixed-depth buffer stack — one executable per
+    (bucketed op count, bucketed depth), however the layer structure
+    changes frame to frame. Filters force the unrolled path instead."""
+    fr = prepare_fragments(bufs, static, stripe, keep_clip_paths=True)
+    if key.n_clip_levels:
+        _apply_clip_chains(fr, plan_dyn, key.n_clip_levels)
+    n_loc = fr["n_loc"]
+    npx = TILE_H * TILE_W
+    base = bufs["base_color"]
+    base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
+    D = key.depth + 1
+    stack = jnp.zeros((D, n_loc, 4, npx), jnp.float32)
+    stack = stack.at[0].set(
+        jnp.broadcast_to(base_premul[None, :, None], (n_loc, 4, npx)))
+    clips = jnp.ones((D, n_loc, npx), jnp.float32)
+    calphas = jnp.ones((D,), jnp.float32)
+    op_tab = plan_dyn["op_tab"]
+    op_alpha = plan_dyn["op_alpha"]
+    tpath_s, g_s = fr["tpath_s"], fr["g_s"]
+    src_s, alpha_s, cov_s = fr["src_s"], fr["alpha_s"], fr["coverage_s"]
+
+    def op_draws(i, stack, clips, calphas, sp):
+        lo, hi = op_tab[i, 3], op_tab[i, 4]
+        m = (tpath_s >= lo) & (tpath_s < hi)
+        alpha = jnp.where(m[:, None], alpha_s, 0.0)
+        src = jnp.where(m[:, None, None], src_s, 0.0)
+        top = fine_xla.composite_srcover_over(src, alpha, g_s, stack[sp])
+        return stack.at[sp].set(top), clips, calphas, sp
+
+    def op_push(i, stack, clips, calphas, sp):
+        cix = op_tab[i, 5]
+        sel = tpath_s == cix
+        covs = jnp.where(sel[:, None], cov_s, 0.0)
+        ccov = segment_sum_sorted(covs, g_s, n_loc)
+        ccov = jnp.where(cix >= 0, ccov, 1.0)
+        sp = sp + 1
+        return (stack.at[sp].set(0.0), clips.at[sp].set(ccov),
+                calphas.at[sp].set(op_alpha[i]), sp)
+
+    def op_pop(i, stack, clips, calphas, sp):
+        mix = op_tab[i, 1]
+        compose = op_tab[i, 2]
+        top = stack[sp]
+        parent = stack[sp - 1]
+        c = clips[sp][:, None, :]
+        alpha = calphas[sp]
+        ch_last = lambda x: x.transpose(0, 2, 1)
+        # luminance-mask pop (mix 127) and the general mix/compose pop,
+        # selected by data (both are few whole-frame ops)
+        fg = top * c * alpha
+        lum = ch_last(blend_ops.luminance_mask(
+            jnp, ch_last(parent), ch_last(fg)))
+        lum = jnp.where(c > 0.0, lum, parent)
+        blended = ch_last(blend_ops.blend_mix_compose_dyn(
+            ch_last(parent), ch_last(top * alpha),
+            jnp.where(mix == 128, 0, mix), compose))
+        normal = parent * (1.0 - c) + blended * c
+        res = jnp.where(mix == 127, lum, normal)
+        res = jnp.where(mix < 0, parent, res)   # discarded layer
+        return stack.at[sp - 1].set(res), clips, calphas, sp - 1
+
+    def op_nop(i, stack, clips, calphas, sp):
+        return stack, clips, calphas, sp
+
+    def body(i, state):
+        stack, clips, calphas, sp = state
+        kind = jnp.clip(op_tab[i, 0], 0, 3)
+        return jax.lax.switch(kind, [op_draws, op_push, op_pop, op_nop],
+                              i, stack, clips, calphas, sp)
+
+    stack, _, _, _ = jax.lax.fori_loop(
+        0, op_tab.shape[0], body,
+        (stack, clips, calphas, jnp.int32(0)))
+    tiles = stack[0]
+    img = _tiles_to_image(tiles, static, fr["ht_local"], stripe is None)
+    return img, fr["overflow"]
 
 
 def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
@@ -208,27 +353,7 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
     bottom = jnp.broadcast_to(base_premul[None, :, None], (n_loc, 4, npx))
 
     if plan.n_clip_levels:
-        # Collapsed clip chains: multiply each fragment's coverage by its
-        # chain's clip-path coverages AT THE SAME TILE (plus the chain's
-        # alpha product). The clip fragment for (gtile, clip path) is found
-        # in the sorted fragment stream by key merge — no tile buffers.
-        from ..ops.segmented import lookup_sorted
-        pca = plan_dyn["path_clipalpha"]            # (P, K+1) f32
-        P = pca.shape[0]
-        pc_g = pca[fr["tpath_s"]]                   # (F, K+1) row gather
-        key = fr["g_s"] * (P + 1) + fr["tpath_s"]
-        cov0 = fr["coverage_s"]
-        cmul = pc_g[:, plan.n_clip_levels][:, None]  # alpha product
-        for k in range(plan.n_clip_levels):
-            cix = pc_g[:, k].astype(jnp.int32)
-            q = jnp.where(cix >= 0, fr["g_s"] * (P + 1) + cix, -1)
-            idx, found = lookup_sorted(key, q)
-            ck = jnp.where((cix >= 0)[:, None],
-                           jnp.where(found[:, None], cov0[idx], 0.0), 1.0)
-            cmul = cmul * ck
-        fr["coverage_s"] = cov0 * cmul
-        fr["src_s"] = fr["src_s"] * cmul[:, None, :]
-        fr["alpha_s"] = fr["alpha_s"] * cmul
+        _apply_clip_chains(fr, plan_dyn, plan.n_clip_levels)
 
     stack = [bottom]
     clips = []  # per-push clip coverage or None
@@ -302,7 +427,19 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
 _JIT_CACHE = {}
 
 
-def get_layered_pipeline(static: PipelineStatic, plan: LayerPlanStatic):
+def get_layered_pipeline(static: PipelineStatic, plan: LayerPlanStatic,
+                         scan_key: "LayerPlanScanKey" = None,
+                         has_filter: bool = True):
+    """Filtered plans use the unrolled pipeline (filters are static per
+    op); everything else uses the plan-as-data scan pipeline whose
+    compile key is only the bucketed (n_ops, depth)."""
+    if scan_key is not None and not has_filter:
+        key = (static, scan_key)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(
+                partial(render_frame_layered_scan, static=static,
+                        key=scan_key))
+        return _JIT_CACHE[key]
     key = (static, plan)
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(
