@@ -101,7 +101,42 @@ def main():
         raise RuntimeError("expected assertion for non-divisible sp")
     except AssertionError:
         pass
+    msaa_check()
     print("parallel_check OK")
+
+
+
+
+def msaa_check():
+    """msaa16 under the dp x sp mesh (geometry replicated, fine striped)."""
+    import numpy as np
+
+    from vello_tpu import Affine, Fill, RenderParams
+    from vello_tpu.encoding.resolve import resolve
+    from vello_tpu.kurbo import circle_path
+    from vello_tpu.models.renderer import Renderer, pack_buffers
+    from vello_tpu.parallel.mesh import make_mesh, render_batch
+    from vello_tpu.peniko import palette
+    from vello_tpu.pipeline.render import PipelineStatic
+    from vello_tpu.scene import Scene
+
+    size = 128
+    params = RenderParams(size, size, antialiasing="msaa16")
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+           circle_path(64, 64, 40))
+    rs = resolve(s.encoding, params)
+    caps = rs.capacities(params)
+    static = PipelineStatic(caps_key=caps.key(), width=size, height=size,
+                            kinds_present=(0,), aa="msaa16",
+                            has_evenodd=False)
+    b = pack_buffers(rs, caps, params)
+    imgs, ovf = render_batch([b] * 2, static, make_mesh(1, 4))
+    assert ovf.sum() == 0
+    ref = Renderer().render_resolved(rs, params)
+    d = np.abs(imgs[0, :size, :size] - ref)
+    assert d.max() < 1e-4, f"msaa sharded max {d.max()}"
+    print("msaa_check OK")
 
 
 if __name__ == "__main__":

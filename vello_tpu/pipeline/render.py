@@ -122,6 +122,12 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     scales with the axis instead of being replicated.
     """
     caps = Capacities(*static.caps_key)
+    if geom_axis is not None and static.aa in ("msaa8", "msaa16"):
+        # msaa geometry sharding would need a psum of the (F, ns*256)
+        # per-sample tensor; replicate the geometry instead — the fine /
+        # composite stages still shard by framebuffer stripe.
+        geom_axis = None
+        geom_shards = 1
     H = float(static.height)
     WT, HT = static.width_tiles, static.height_tiles
     # One extra tile column so the x-clamp boundary (which deforms crossing
@@ -261,9 +267,6 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     if static.aa in ("msaa8", "msaa16"):
         # Sample-mask MSAA: per-sample winding, fill rule per sample, box
         # resolve (fine.wgsl fill_path_ms role).
-        if geom_axis is not None:
-            raise NotImplementedError(
-                "msaa under geometry sharding: use area AA")
         ns = 8 if static.aa == "msaa8" else 16
         bdf = backdrop.astype(jnp.float32)
         if use_pallas():
