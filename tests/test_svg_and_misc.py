@@ -181,3 +181,30 @@ def test_renderer_profile_stages():
     assert isinstance(st, dict)
     if st:
         assert "_total" in st and st["_total"] > 0
+
+
+def test_encoding_append_rebase_markerless():
+    """Encoding.append(other, T) where other's tags start before any
+    transform marker must bind those segments to T, not to self's last
+    transform (ADVICE round-1 low: the public-API composition trap)."""
+    import numpy as np
+
+    from vello_tpu import Affine, Fill, RenderParams, Scene
+    from vello_tpu.encoding.encoding import (DRAW_COLOR, DrawRecord,
+                                             Encoding)
+    from vello_tpu.kurbo import rect_path
+    from vello_tpu.models.renderer import Renderer
+    from vello_tpu.peniko import palette
+    e = Encoding()
+    e.encode_fill_style(Fill.NON_ZERO)
+    e.encode_path(rect_path(0, 0, 10, 10), is_fill=True)
+    e.encode_draw(DrawRecord(kind=DRAW_COLOR, fill_rule=0,
+                             brush=palette.RED))
+    host = Scene()
+    # give the host a non-identity last transform to bind to incorrectly
+    host.fill(Fill.NON_ZERO, Affine.translate(100, 100), palette.NAVY,
+              None, rect_path(0, 0, 1, 1))
+    host.encoding.append(e, Affine.translate(20, 20))
+    img = Renderer().render(host, RenderParams(48, 48))
+    assert img[25, 25, 0] > 0.9     # rect landed at (20..30)
+    assert img[5, 5, 0] < 0.1       # not at the origin / host transform

@@ -175,16 +175,24 @@ class Encoding:
         """Append another encoding, optionally rebasing its transforms
         (``encoding.rs:94-174``)."""
         if transform is not None and not transform.is_identity():
+            # Tags preceding other's FIRST transform marker bind to the
+            # encoding-initial implicit identity; without an explicit
+            # marker they would silently bind to self's LAST transform
+            # after the append. Prepend the rebased identity when other's
+            # stream doesn't open with a marker (encoding.rs append
+            # semantics).
+            if other.path_tags:
+                try:
+                    ft = other.path_tags.index(TAG_TRANSFORM)
+                except ValueError:
+                    ft = -1
+                if ft != 0:
+                    self.transforms.append(
+                        tuple(float(v) for v in transform.coeffs))
+                    self.path_tags.append(TAG_TRANSFORM)
             for c in other.transforms:
                 t = transform @ Affine(c)
                 self.transforms.append(tuple(float(v) for v in t.coeffs))
-            if not other.transforms and other.path_tags:
-                # Paths with implicit identity transform: emit an explicit
-                # marker so the rebase transform actually applies (otherwise
-                # appended segments would bind to self's last transform).
-                self.transforms.append(
-                    tuple(float(v) for v in transform.coeffs))
-                self.path_tags.append(TAG_TRANSFORM)
         else:
             self.transforms.extend(other.transforms)
         self.path_tags.extend(other.path_tags)
