@@ -208,3 +208,30 @@ def test_encoding_append_rebase_markerless():
     img = Renderer().render(host, RenderParams(48, 48))
     assert img[25, 25, 0] > 0.9     # rect landed at (20..30)
     assert img[5, 5, 0] < 0.1       # not at the origin / host transform
+
+
+def test_large_viewport_4608():
+    """Viewport beyond the reference's ~4096 coarse-grid warning line
+    (render.rs:206-218): the tile grid, backdrop rows and composite must
+    stay correct at 4608x4352 (aux 5.7 complexity scaling)."""
+    import numpy as np
+
+    from vello_tpu import Affine, Fill, RenderParams, Scene
+    from vello_tpu.kurbo import circle_path, rect_path
+    from vello_tpu.models.renderer import Renderer
+    from vello_tpu.peniko import palette
+    W, H = 4608, 4352
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.NAVY, None,
+           rect_path(0, 0, W, H))
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+           circle_path(W - 100.5, H - 90.5, 64))
+    s.fill(Fill.EVEN_ODD, Affine.identity(), palette.RED.with_alpha(0.5),
+           None, rect_path(10.25, H - 50.75, 200.5, H - 10.25))
+    img = Renderer().render(s, RenderParams(W, H))
+    assert img.shape == (H, W, 4)
+    # far-corner circle filled, interior navy, blended rect correct
+    assert np.allclose(img[H - 90, W - 100], [1, 1, 0, 1], atol=1e-3)
+    assert np.allclose(img[100, 100], [0, 0, 0.5, 1], atol=1e-3)
+    exp = np.array([0.5, 0, 0.25, 1.0])   # red a=.5 over navy
+    assert np.allclose(img[H - 30, 100], exp, atol=2e-3)

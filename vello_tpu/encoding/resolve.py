@@ -184,6 +184,9 @@ class ImageAtlas:
         self.entries = {}
         self._id_memo = {}
         self.evictions += 1
+        from ..utils.log import get_logger
+        get_logger().info("atlas eviction #%d: %d live images repacked",
+                          self.evictions, len(live))
         for k, e in sorted(live, key=lambda kv: -kv[1][3]):
             img = e[5]
             h, w = img.data.shape[:2]

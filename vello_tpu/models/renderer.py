@@ -229,6 +229,8 @@ class Renderer:
         has_eo = True
         if params.antialiasing in ("msaa8", "msaa16"):
             has_eo = bool((rs.fill_rule == 1).any())
+        from ..utils.log import get_logger
+        log = get_logger()
         for attempt in range(self.max_retries + 1):
             static = PipelineStatic(
                 caps_key=caps.key(), width=params.width,
@@ -254,6 +256,15 @@ class Renderer:
             else:
                 img, overflow = get_pipeline(static)(bufs)
             overflow = int(jax.device_get(overflow))
+            if attempt == 0:
+                log.info("render %dx%d aa=%s tier(lines=%d touches=%d "
+                         "tiles=%d) n_live=%d layered=%s",
+                         params.width, params.height, params.antialiasing,
+                         caps.n_lines, caps.n_touches, caps.n_path_tiles,
+                         static.n_live, has_layers)
+            if overflow:
+                log.info("overflow flags=%d at attempt %d - growing tier",
+                         overflow, attempt)
             if overflow == 0:
                 t_done = time.time()
                 if out == "rgba8":
