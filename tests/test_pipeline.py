@@ -499,3 +499,16 @@ def test_layered_scan_structure_reuse():
     ob = OracleRenderer().render(scene_with(5, Mix.SCREEN), PARAMS)
     assert np.abs(a - oa).mean() < 2e-3
     assert np.abs(b - ob).mean() < 2e-3
+
+
+def test_render_mode_speed_lowp():
+    """render_mode="speed" (bf16 fine tensors, the OptimizeSpeed /
+    fine/lowp.rs analog) stays within the reference's own cpu_u8
+    tolerance (<=2/255 per channel) of the quality mode."""
+    from vello_tpu.scenes.test_scenes import splash
+    s = splash(128.0)
+    q = Renderer().render(s, RenderParams(128, 128))
+    f = Renderer().render(s, RenderParams(128, 128, render_mode="speed"))
+    d = np.abs(q - f)
+    assert d.max() <= 2.5 / 255.0, float(d.max())
+    assert d.mean() < 1e-3

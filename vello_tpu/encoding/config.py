@@ -96,6 +96,11 @@ class RenderParams:
     height: int
     base_color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     antialiasing: str = "area"   # "area" | "msaa8" | "msaa16"
+    # "quality" = f32 fine stages; "speed" = bf16 coverage/paint tensors
+    # (the OptimizeSpeed / u8-lowp analog of vello_cpu fine/lowp.rs —
+    # bf16's 8-bit mantissa matches u8 output precision, and on TPU it
+    # halves the fine-stage HBM traffic)
+    render_mode: str = "quality"
 
     @property
     def width_tiles(self) -> int:

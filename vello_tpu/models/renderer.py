@@ -236,6 +236,8 @@ class Renderer:
                 caps_key=caps.key(), width=params.width,
                 height=params.height, kinds_present=kinds,
                 aa=params.antialiasing, has_evenodd=has_eo,
+                lowp=(getattr(params, "render_mode", "quality")
+                      == "speed"),
                 n_live=0 if n_live >= caps.n_path_tiles else n_live)
             # Re-rendering the same resolved scene (animation loops, profiling,
             # serving) must not re-pack + re-upload ~MBs of buffers per frame —

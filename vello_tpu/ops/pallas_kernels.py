@@ -776,15 +776,15 @@ def _fine_kernel(lo_ref,              # scalar prefetch: (Gpad,) i32 per-tile
 
             def pair_body(k, dst):
                 i = i_lo + 2 * k
-                s0 = src_buf[i]                       # (4, 256) premul
-                s1 = src_buf[i + 1]
+                s0 = src_buf[i].astype(jnp.float32)   # (4, 256) premul
+                s1 = src_buf[i + 1].astype(jnp.float32)
                 s01 = s1 + s0 * (1.0 - s1[3:4, :])    # s1 over s0
                 return s01 + dst * (1.0 - s01[3:4, :])
 
             dst = jax.lax.fori_loop(0, n2, pair_body, dst)
 
             def tail_body(i, dst):
-                src = src_buf[i]
+                src = src_buf[i].astype(jnp.float32)
                 return src + dst * (1.0 - src[3:4, :])
 
             return jax.lax.fori_loop(i_lo + 2 * n2, i_hi, tail_body, dst)
@@ -825,7 +825,7 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
         out_specs=pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FINE_CHUNK, 4, NPX), jnp.float32),
+            pltpu.VMEM((FINE_CHUNK, 4, NPX), src_sorted.dtype),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -894,9 +894,10 @@ def _fine_cov_kernel(lo_ref,           # scalar prefetch: (Gpad,) i32
                 cp.wait()
                 cp2.wait()
                 # expand color x coverage for the whole chunk, vectorized
-                # per channel (Mosaic's dynamic row reads need a 3D ref)
-                cov = cov_buf[...]
-                col = col_buf[...]
+                # per channel (Mosaic's dynamic row reads need a 3D ref);
+                # lowp inputs (bf16) widen to the f32 working chunk here
+                cov = cov_buf[...].astype(jnp.float32)
+                col = col_buf[...].astype(jnp.float32)
                 for c in range(4):
                     src_chunk[:, c, :] = col[:, c:c + 1] * cov
                 win_ref[0] = cidx
@@ -915,6 +916,7 @@ def _fine_cov_kernel(lo_ref,           # scalar prefetch: (Gpad,) i32
                 s1 = src_chunk[i + 1]
                 s01 = s1 + s0 * (1.0 - s1[3:4, :])        # s1 over s0
                 return s01 + dst * (1.0 - s01[3:4, :])
+
 
             dst = jax.lax.fori_loop(0, n2, pair_body, dst)
 
@@ -955,8 +957,8 @@ def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
         out_specs=pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((FINE_CHUNK, NPX), jnp.float32),
-            pltpu.VMEM((FINE_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((FINE_CHUNK, NPX), cov_sorted.dtype),
+            pltpu.VMEM((FINE_CHUNK, 128), colors.dtype),
             pltpu.VMEM((FINE_CHUNK, 4, NPX), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

@@ -39,6 +39,7 @@ class PipelineStatic:
     n_live: int = 0   # live-fragment cap after culling (0 = no culling)
     has_evenodd: bool = True  # any even-odd fill rule in the scene (static
                               # specialization of the msaa resolve)
+    lowp: bool = False        # bf16 fine tensors (OptimizeSpeed analog)
 
     @property
     def width_tiles(self):
@@ -354,6 +355,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         "overflow": overflow,
         "coverage_s": coverage_s,
     }
+    if static.lowp:
+        # lowp: coverage rows carry 8 mantissa bits — at or above the
+        # precision of the u8 output target (fine/lowp.rs role)
+        coverage_s = coverage_s.astype(jnp.bfloat16)
     if want_src:
         solid_only = not any(k in static.kinds_present for k in (1, 2, 3))
         if solid_only and not keep_clip_paths and use_pallas() \
@@ -361,7 +366,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # Solid fast path: the composite kernel forms color x coverage
             # rows in VMEM — no (F, 4, NPX) src tensor (805 MB at the
             # bench tier) is ever materialized.
-            out["col_s"] = bufs["paint_pack"][tpath_s][:, 1:5]   # (F, 4)
+            col = bufs["paint_pack"][tpath_s][:, 1:5]            # (F, 4)
+            out["col_s"] = col.astype(jnp.bfloat16) if static.lowp else col
             return out
         # Paint evaluated in SORTED order (post-sort): only scalar metadata
         # rides the permutation, never a (F, 4, NPX) tensor — and all the
@@ -382,6 +388,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         if keep_clip_paths:
             is_clip_s = prow[:, 39] != 0
             src_s = jnp.where(is_clip_s[:, None, None], 0.0, src_s)
+        if static.lowp:
+            src_s = src_s.astype(jnp.bfloat16)
         out["src_s"] = src_s           # premultiplied paint*coverage (F,4,P)
         out["alpha_s"] = src_s[:, 3, :]
         # opaque solid fragments drive occlusion culling downstream
