@@ -108,6 +108,28 @@ def main():
         int(jax.device_get(ovf).sum())
         bdt = (time.time() - t0) / max(ITERS // 2, 3)
         batch_fps = B / bdt
+    # Secondary configs for the record: area AA (the reference's default
+    # mode) and the bf16 speed mode, on the same scene.
+    alt_fps = {}
+    for alt_aa, mode in (("area", "quality"), (AA, "speed")):
+        try:
+            st2 = PipelineStatic(
+                caps_key=caps.key(), width=SIZE, height=SIZE,
+                kinds_present=static.kinds_present, aa=alt_aa,
+                has_evenodd=has_eo, lowp=(mode == "speed"),
+                n_live=static.n_live)
+            fn2 = get_pipeline(st2)
+            img2, ov2 = fn2(bufs)
+            int(jax.device_get(ov2))
+            t0 = time.time()
+            for _ in range(max(ITERS // 2, 3)):
+                img2, ov2 = fn2(bufs)
+            int(jax.device_get(ov2))
+            alt_fps[f"{alt_aa}_{mode}"] = round(
+                max(ITERS // 2, 3) / (time.time() - t0), 2)
+        except Exception as e:
+            alt_fps[f"{alt_aa}_{mode}"] = f"error: {str(e)[:80]}"
+
     result = {
         "metric": f"fps filled_mmark-{COMPLEXITY}k {SIZE}x{SIZE} {AA} "
                   f"({n_paths} paths, {n_segs} segs, ~{rs.est_lines} lines)",
@@ -118,6 +140,7 @@ def main():
             "frame_ms": round(dt * 1e3, 2),
             "batched_fps": round(batch_fps, 2) if batch_fps else None,
             "mlines_per_s": round(msegs, 2),
+            "alt_fps": alt_fps,
             "compile_s": round(compile_s, 1),
             "encode_s": round(encode_s, 2),
             "backend": jax.default_backend(),
