@@ -227,3 +227,38 @@ def test_fuzz_culling_with_offscreen_clipping(seed):
     d = np.abs(a.astype(np.float64) - b)
     assert d.mean() < 5e-4
     assert (d.max(axis=-1) > 0.05).sum() < 20
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_random_scene_msaa_vs_xla_reference(seed):
+    """Randomized scenes through the msaa16 device pipeline vs the XLA
+    reference formulation (VELLO_TPU_SUPERSAMPLE_MSAA exercises the
+    fallback separately): device msaa must be finite, bounded, and agree
+    with the oracle's supersampled msaa within sample-position error."""
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    for i in range(5):
+        path = random_path(rng)
+        rule = Fill.NON_ZERO if rng.random() < 0.5 else Fill.EVEN_ODD
+        c = COLORS[i % 6].with_alpha(float(rng.uniform(0.4, 1.0)))
+        s.fill(rule, Affine.identity(), c, None, path)
+    params = RenderParams(64, 64, antialiasing="msaa16")
+    img = np.asarray(Renderer().render(s, params))
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0 + 1e-5
+    area = np.asarray(Renderer().render(s, RenderParams(64, 64)))
+    # msaa vs area differ only at edges: mean difference stays small
+    assert np.abs(img - area).mean() < 0.02
+
+
+@pytest.mark.parametrize("seed", [1])
+def test_random_scene_lowp_close_to_quality(seed):
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    for i in range(5):
+        c = COLORS[i % 6].with_alpha(float(rng.uniform(0.4, 1.0)))
+        s.fill(Fill.NON_ZERO, Affine.identity(), c, None, random_path(rng))
+    q = np.asarray(Renderer().render(s, RenderParams(64, 64)))
+    f = np.asarray(Renderer().render(
+        s, RenderParams(64, 64, render_mode="speed")))
+    assert np.abs(q - f).max() <= 3.0 / 255.0
