@@ -169,6 +169,8 @@ SIZES = {
     "image_sampling_bicubic": (280, 180),
     "image_extend_modes_bilinear": (300, 300),
     "image_extend_modes_nearest": (300, 300),
+    "brush_transform": (260, 180),
+    "many_draw_objects": (400, 300),
 }
 
 
@@ -177,6 +179,14 @@ def test_ported_scene_device_vs_oracle(name):
     if name in ("fill_types", "gradient_extend", "clip_test") \
             and not roboto_available():
         pytest.skip("needs reference Roboto asset")
+    if name == "many_draw_objects":
+        # 90k paths: device + snapshot only (the scanline oracle takes
+        # minutes at this path count); draw-count scale regression
+        w, h = SIZES[name]
+        scene, _ = build_for_golden(name, w, h)
+        dev = Renderer().render(scene, RenderParams(w, h))
+        assert_snapshot(f"ref_{name}", dev, mean_tol=0.002)
+        return
     w, h = SIZES[name]
     scene, base = build_for_golden(name, w, h)
     bc = (base.r, base.g, base.b, base.a) if base is not None \

@@ -761,3 +761,43 @@ REFERENCE_SCENES.update({
     "image_extend_modes_bilinear": image_extend_modes_bilinear,
     "image_extend_modes_nearest": image_extend_modes_nearest,
 })
+
+
+# test_scenes.rs brush_transform (time = 0)
+def brush_transform(scene: Scene, params: SceneParams) -> None:
+    th = params.time
+    linear = Gradient.linear((0.0, 0.0), (0.0, 200.0),
+                             stops(palette.RED, palette.GREEN,
+                                   palette.BLUE))
+    radial = Gradient.radial((200.0, 200.0), 80.0,
+                             stops(palette.RED, palette.GREEN,
+                                   palette.BLUE))
+    scene.fill(Fill.NON_ZERO,
+               Affine.rotate(math.radians(25.0)) @ Affine.scale(2.0, 1.0),
+               radial, None, rect_path(100.0, 100.0, 300.0, 300.0))
+    around = (Affine.translate(200.0, 100.0) @ Affine.rotate(th)
+              @ Affine.translate(-200.0, -100.0))
+    scene.fill(Fill.NON_ZERO, Affine.translate(200.0, 600.0), linear,
+               around, rect_path(0.0, 0.0, 400.0, 200.0))
+    scene.stroke(Stroke(width=40.0), Affine.translate(800.0, 600.0),
+                 linear, around, rect_path(0.0, 0.0, 400.0, 200.0))
+    params.resolution = (1300.0, 900.0)
+
+
+# test_scenes.rs many_draw_objects: 90k yellow circles (draw-count scale)
+def many_draw_objects(scene: Scene, params: SceneParams) -> None:
+    n_wide, n_high = 300, 300
+    sw, sh = 2000.0, 1500.0
+    params.resolution = (sw, sh)
+    for j in range(n_high):
+        y = (j + 0.5) * (sh / n_high)
+        for i in range(n_wide):
+            x = (i + 0.5) * (sw / n_wide)
+            scene.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW,
+                       None, circle_path(x, y, 3.0))
+
+
+REFERENCE_SCENES.update({
+    "brush_transform": brush_transform,
+    "many_draw_objects": many_draw_objects,
+})
