@@ -226,6 +226,12 @@ def expand_stroke(path: BezPath, style: Stroke,
     """
     scale = max(transform.scale_factor(), 1e-12)
     tol_local = tol / scale
+    if style.dash_pattern:
+        # dash phases accumulate the polyline-vs-curve arc-length error;
+        # flatten 4x finer when dashing so dash boundaries stay within
+        # ~tol/4 of their true arc-length positions (kurbo::dash measures
+        # on the exact curve, scene.rs:428-439)
+        tol_local = tol_local / 4.0
     hw = style.width / 2.0
     # Offset-tolerance subdivision: flattening to centerline tolerance is
     # NOT enough for the offset curves — a tangent step of dθ displaces the
