@@ -181,3 +181,179 @@ int vn_encode_polygons(const float* polys, const int* sizes, int n_polys,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Capacity estimator (BumpEstimator analog, estimate.rs role): the exact
+// host flatten + touch/live-bound math of encoding/resolve.py::_estimate,
+// as flat C++ loops. The numpy version's first call paid seconds of
+// allocator first-touch cost on multi-hundred-MB f64 temporaries; this
+// streams per line with O(P*ht) workspace.
+
+extern "C" int vn_estimate(
+    const float* pts,      // (S,4,2)
+    const int* kind,       // (S,)
+    const float* tmat,     // (S,6)
+    const int* path_ix,    // (S,)
+    int S, int n_paths,
+    int wt1, int ht_tiles, // x-tile clamp [0,wt1]; y-tile clamp [0,ht]
+    double tol, int max_lines,
+    long long* out,        // [est_lines, est_touches, est_path_tiles,
+                           //  est_live]
+    int* rect,             // (n_paths, 4) i32 out
+    double* bbox,          // (n_paths, 4) workspace f64
+    float* hmin, float* hmax)  // ((n_paths+1) * (ht+1)) workspaces
+{
+    const double TW = 16.0, TH = 16.0;
+    const int ht1 = ht_tiles + 1;
+    long long est_lines = 0;
+    double est_touches = 0.0;
+    for (int p = 0; p < n_paths; ++p) {
+        bbox[4 * p + 0] = 1e30; bbox[4 * p + 1] = 1e30;
+        bbox[4 * p + 2] = -1e30; bbox[4 * p + 3] = -1e30;
+    }
+    const long long nk = (long long)(n_paths + 1) * ht1;
+    for (long long i = 0; i < nk; ++i) { hmin[i] = 1e9f; hmax[i] = -1e9f; }
+
+    for (int s = 0; s < S; ++s) {
+        int k = kind[s];
+        if (k < 1 || k > 3) continue;
+        const float* q = pts + 8 * s;
+        const float* t = tmat + 6 * s;
+        double x[4], y[4];
+        for (int j = 0; j < 4; ++j) {
+            double px = q[2 * j], py = q[2 * j + 1];
+            x[j] = px * t[0] + py * t[2] + t[4];
+            y[j] = px * t[1] + py * t[3] + t[5];
+        }
+        // degree-elevate to cubic (host_flatten.elevate_to_cubic)
+        double c0x = x[0], c0y = y[0], c1x, c1y, c2x, c2y, c3x, c3y;
+        if (k == 1) {
+            c3x = x[1]; c3y = y[1];
+            c1x = c0x + (c3x - c0x) / 3.0; c1y = c0y + (c3y - c0y) / 3.0;
+            c2x = c0x + 2.0 / 3.0 * (c3x - c0x);
+            c2y = c0y + 2.0 / 3.0 * (c3y - c0y);
+        } else if (k == 2) {
+            c3x = x[2]; c3y = y[2];
+            c1x = c0x + 2.0 / 3.0 * (x[1] - c0x);
+            c1y = c0y + 2.0 / 3.0 * (y[1] - c0y);
+            c2x = c3x + 2.0 / 3.0 * (x[1] - c3x);
+            c2y = c3y + 2.0 / 3.0 * (y[1] - c3y);
+        } else {
+            c1x = x[1]; c1y = y[1]; c2x = x[2]; c2y = y[2];
+            c3x = x[3]; c3y = y[3];
+        }
+        int n = 1;
+        if (k != 1) {
+            double d1x = c0x - 2 * c1x + c2x, d1y = c0y - 2 * c1y + c2y;
+            double d2x = c1x - 2 * c2x + c3x, d2y = c1y - 2 * c2y + c3y;
+            double m = 6.0 * std::fmax(std::hypot(d1x, d1y),
+                                       std::hypot(d2x, d2y));
+            double nn = std::ceil(std::sqrt(std::fmax(m, 0.0)
+                                            / (8.0 * tol)));
+            n = (int)nn; if (n < 1) n = 1; if (n > max_lines) n = max_lines;
+        }
+        est_lines += n;
+        const int p = path_ix[s];
+        const bool pok = p >= 0 && p < n_paths;
+        double px0 = c0x, py0 = c0y;
+        for (int i = 1; i <= n; ++i) {
+            double tt = (double)i / n, mt = 1.0 - tt;
+            double a = mt * mt * mt, b = 3 * mt * mt * tt,
+                   c = 3 * mt * tt * tt, d = tt * tt * tt;
+            double px1 = a * c0x + b * c1x + c * c2x + d * c3x;
+            double py1 = a * c0y + b * c1y + c * c2y + d * c3y;
+            // touch spans (resolve.py span())
+            double sx0 = px0 / TW, sx1 = px1 / TW;
+            double sy0 = py0 / TH, sy1 = py1 / TH;
+            double sxmin = sx0 < sx1 ? sx0 : sx1;
+            double sxmax = sx0 < sx1 ? sx1 : sx0;
+            double symin = sy0 < sy1 ? sy0 : sy1;
+            double symax = sy0 < sy1 ? sy1 : sy0;
+            double spx = std::ceil(sxmax) - std::floor(sxmin);
+            if (spx < 1) spx = 1;
+            double spy = std::ceil(symax) - std::floor(symin);
+            if (spy < 1) spy = 1;
+            est_touches += spx - 1.0 + spy;
+            if (pok) {
+                double* bb = bbox + 4 * p;
+                double lxmin = px0 < px1 ? px0 : px1;
+                double lxmax = px0 < px1 ? px1 : px0;
+                double lymin = py0 < py1 ? py0 : py1;
+                double lymax = py0 < py1 ? py1 : py0;
+                if (lxmin - 0.5 < bb[0]) bb[0] = lxmin - 0.5;
+                if (lymin - 0.5 < bb[1]) bb[1] = lymin - 0.5;
+                if (lxmax + 0.5 > bb[2]) bb[2] = lxmax + 0.5;
+                if (lymax + 0.5 > bb[3]) bb[3] = lymax + 0.5;
+                // per-(path, tile-row) x hull (live-tile bound)
+                const double pad = 0.5;
+                double ry0d = std::floor(symin - pad / TH);
+                double ry1d = std::ceil(symax + pad / TH);
+                long long ry0 = (long long)ry0d;
+                long long ry1 = (long long)ry1d;
+                if (ry0 < 0) ry0 = 0;
+                if (ry0 > ht1 - 1) ry0 = ht1 - 1;
+                if (ry1 < 1) ry1 = 1;
+                if (ry1 > ht1) ry1 = ht1;
+                double slo = symin, shi = symax, dy = sy1 - sy0;
+                bool horiz = std::fabs(dy) <= 1e-12;
+                double inv_dy = horiz ? 0.0 : 1.0 / dy;
+                for (long long row = ry0; row < ry1; ++row) {
+                    double xa, xb;
+                    if (horiz) {
+                        xa = sxmin; xb = sxmax;
+                    } else {
+                        double ya = (double)row;
+                        if (ya < slo) ya = slo; if (ya > shi) ya = shi;
+                        double yb = (double)row + 1.0;
+                        if (yb < slo) yb = slo; if (yb > shi) yb = shi;
+                        double ta = (ya - sy0) * inv_dy;
+                        double tb = (yb - sy0) * inv_dy;
+                        if (ta < 0) ta = 0; if (ta > 1) ta = 1;
+                        if (tb < 0) tb = 0; if (tb > 1) tb = 1;
+                        xa = sx0 + ta * (sx1 - sx0);
+                        xb = sx0 + tb * (sx1 - sx0);
+                    }
+                    double padx = pad / TW;
+                    double kx0 = std::floor((xa < xb ? xa : xb) - padx);
+                    double kx1 = std::ceil((xa < xb ? xb : xa) + padx);
+                    if (kx0 < 0) kx0 = 0; if (kx0 > wt1) kx0 = wt1;
+                    if (kx1 < 0) kx1 = 0; if (kx1 > wt1) kx1 = wt1;
+                    long long key = (long long)p * ht1 + row;
+                    if ((float)kx0 < hmin[key]) hmin[key] = (float)kx0;
+                    if ((float)kx1 > hmax[key]) hmax[key] = (float)kx1;
+                }
+            }
+            px0 = px1; py0 = py1;
+        }
+    }
+    long long est_path_tiles = n_paths;
+    for (int p = 0; p < n_paths; ++p) {
+        double* bb = bbox + 4 * p;
+        bool empty = !(bb[0] <= bb[2]) || bb[0] > 1e29;
+        double tx0 = 0, ty0 = 0, tx1 = 0, ty1 = 0;
+        if (!empty) {
+            tx0 = std::floor(bb[0] / TW); ty0 = std::floor(bb[1] / TH);
+            tx1 = std::ceil(bb[2] / TW); ty1 = std::ceil(bb[3] / TH);
+            if (tx0 < 0) tx0 = 0; if (tx0 > wt1) tx0 = wt1;
+            if (tx1 < 0) tx1 = 0; if (tx1 > wt1) tx1 = wt1;
+            if (ty0 < 0) ty0 = 0; if (ty0 > ht_tiles) ty0 = ht_tiles;
+            if (ty1 < 0) ty1 = 0; if (ty1 > ht_tiles) ty1 = ht_tiles;
+            if (ty1 < ty0) ty1 = ty0;
+            if (tx1 < tx0) tx1 = tx0;
+        }
+        rect[4 * p + 0] = (int)tx0; rect[4 * p + 1] = (int)ty0;
+        rect[4 * p + 2] = (int)tx1; rect[4 * p + 3] = (int)ty1;
+        double ax = tx1 - tx0, ay = ty1 - ty0;
+        if (ax < 0) ax = 0; if (ay < 0) ay = 0;
+        est_path_tiles += (long long)(ax * ay);
+    }
+    double live = 0.0;
+    for (long long i = 0; i < (long long)n_paths * ht1; ++i) {
+        if (hmax[i] >= hmin[i]) live += (double)(hmax[i] - hmin[i]);
+    }
+    out[0] = est_lines;
+    out[1] = (long long)est_touches + est_lines / 8 + 64;
+    out[2] = est_path_tiles;
+    out[3] = (long long)live;
+    return 0;
+}

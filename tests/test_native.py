@@ -50,3 +50,36 @@ def test_native_encode_speed_smoke():
     assert scene.encoding.n_paths == 2000
     # 2000 paths should encode fast with the native encoder
     assert dt < 5.0
+
+
+def test_native_estimator_matches_numpy():
+    """The C++ capacity estimator must agree with the numpy reference on
+    every output (counts AND rects) - it drives tier selection and the
+    live-fragment culling bound."""
+    import os
+
+    import numpy as np
+
+    import vello_tpu.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    from vello_tpu import RenderParams
+    from vello_tpu.encoding.resolve import resolve
+    from vello_tpu.scenes.test_scenes import filled_mmark, splash
+
+    for scene, size in [(splash(128.0), 128), (filled_mmark(1, 256.0), 256)]:
+        params = RenderParams(size, size)
+        rs_n = resolve(scene.encoding, params)
+        os.environ["VELLO_TPU_NO_NATIVE"] = "1"
+        native._lib = None
+        try:
+            rs_p = resolve(scene.encoding, params)
+        finally:
+            del os.environ["VELLO_TPU_NO_NATIVE"]
+            native._lib = None
+        assert rs_n.est_lines == rs_p.est_lines
+        assert rs_n.est_touches == rs_p.est_touches
+        assert rs_n.est_path_tiles == rs_p.est_path_tiles
+        assert rs_n.est_live == rs_p.est_live
+        assert np.array_equal(rs_n.path_rect, rs_p.path_rect)

@@ -246,6 +246,17 @@ def _estimate(decoded, transforms, params: RenderParams):
     n = len(kind)
     if n == 0:
         return 0, 0, 0, 0, np.zeros((0, 4), np.int32)
+    from .. import native
+    if native.available():
+        # C++ streaming estimator: same math, none of the numpy
+        # first-touch allocation cost (seconds at mmark-30k scale)
+        got = native.estimate(
+            decoded["points"], kind, decoded["transform"],
+            decoded["path_ix"], decoded["n_paths"],
+            params.width_tiles + 1, params.height_tiles,
+            FLATTEN_TOL, MAX_LINES_PER_SEG)
+        if got is not None:
+            return got
     # Transform control points.
     x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] + t[:, None, 4]
     y = pts[..., 0] * t[:, None, 1] + pts[..., 1] * t[:, None, 3] + t[:, None, 5]

@@ -45,6 +45,15 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
+        lib.vn_estimate.restype = ctypes.c_int
+        lib.vn_estimate.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
         _lib = lib
     except Exception:
         _lib = False
@@ -100,3 +109,34 @@ def encode_polygons(polys, sizes
         _cptr(out_data, ctypes.c_float), _cptr(counts, ctypes.c_int))
     return (out_tags[:counts[0]], out_data[:counts[1]].reshape(-1, 2),
             int(n_segs))
+
+
+def estimate(points, kind, tmat, path_ix, n_paths, wt1, ht_tiles,
+             tol, max_lines):
+    """C++ capacity estimator (BumpEstimator analog). Returns
+    (est_lines, est_touches, est_path_tiles, est_live, rect (P,4) i32)
+    or None when the native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    pts = np.ascontiguousarray(points, dtype=np.float32)
+    kd = np.ascontiguousarray(kind, dtype=np.int32)
+    tm = np.ascontiguousarray(tmat, dtype=np.float32)
+    pix = np.ascontiguousarray(path_ix, dtype=np.int32)
+    S = len(kd)
+    P = max(int(n_paths), 1)
+    ht1 = int(ht_tiles) + 1
+    out = np.zeros(4, dtype=np.int64)
+    rect = np.zeros((P, 4), dtype=np.int32)
+    bbox = np.empty(P * 4, dtype=np.float64)
+    hmin = np.empty((P + 1) * ht1, dtype=np.float32)
+    hmax = np.empty((P + 1) * ht1, dtype=np.float32)
+    lib.vn_estimate(
+        _cptr(pts, ctypes.c_float), _cptr(kd, ctypes.c_int),
+        _cptr(tm, ctypes.c_float), _cptr(pix, ctypes.c_int),
+        S, int(n_paths), int(wt1), int(ht_tiles),
+        float(tol), int(max_lines),
+        _cptr(out, ctypes.c_longlong), _cptr(rect, ctypes.c_int),
+        _cptr(bbox, ctypes.c_double),
+        _cptr(hmin, ctypes.c_float), _cptr(hmax, ctypes.c_float))
+    return (int(out[0]), int(out[1]), int(out[2]), int(out[3]), rect)
