@@ -50,10 +50,11 @@ def test_gs_tiger_renders():
     from vello_tpu import RenderParams
     from vello_tpu.models.renderer import Renderer
     from vello_tpu.oracle import OracleRenderer
-    from vello_tpu.scenes.test_scenes import gs_tiger
+    from vello_tpu.scenes.test_scenes import tiger
 
-    s = gs_tiger(128.0)
-    if s is None:
+    try:
+        s = tiger(128.0)
+    except FileNotFoundError:
         import pytest
         pytest.skip("reference tiger asset unavailable")
     params = RenderParams(128, 128, base_color=(1, 1, 1, 1))

@@ -455,23 +455,3 @@ def filter_suite(size: float = 256.0) -> Scene:
 
 
 LAYER_SCENES["filter_suite"] = filter_suite
-
-
-def gs_tiger(size: float = 512.0, center: bool = True):
-    """The Ghostscript tiger via the SVG loader (the reference's flagship
-    vector asset, examples/assets/Ghostscript_Tiger.svg; BASELINE.md
-    milestone config). Returns None if the asset is unavailable."""
-    import os
-
-    from ..kurbo import Affine
-    from ..utils.svg import load_svg
-    path = "/root/reference/examples/assets/Ghostscript_Tiger.svg"
-    if not os.path.exists(path):
-        return None
-    inner = load_svg(path)
-    s = Scene()
-    # artwork bounds in user units: x 2.8..198.4, y -4.0..204.9
-    k = size / 212.0
-    t = Affine.scale(k) @ Affine.translate(0.0, 5.0)
-    s.append(inner, t)
-    return s
