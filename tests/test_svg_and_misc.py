@@ -213,25 +213,43 @@ def test_encoding_append_rebase_markerless():
 def test_large_viewport_4608():
     """Viewport beyond the reference's ~4096 coarse-grid warning line
     (render.rs:206-218): the tile grid, backdrop rows and composite must
-    stay correct at 4608x4352 (aux 5.7 complexity scaling)."""
-    import numpy as np
+    stay correct at 4608x4352 (aux 5.7 complexity scaling).
 
-    from vello_tpu import Affine, Fill, RenderParams, Scene
-    from vello_tpu.kurbo import circle_path, rect_path
-    from vello_tpu.models.renderer import Renderer
-    from vello_tpu.peniko import palette
-    W, H = 4608, 4352
-    s = Scene()
-    s.fill(Fill.NON_ZERO, Affine.identity(), palette.NAVY, None,
-           rect_path(0, 0, W, H))
-    s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
-           circle_path(W - 100.5, H - 90.5, 64))
-    s.fill(Fill.EVEN_ODD, Affine.identity(), palette.RED.with_alpha(0.5),
-           None, rect_path(10.25, H - 50.75, 200.5, H - 10.25))
-    img = Renderer().render(s, RenderParams(W, H))
-    assert img.shape == (H, W, 4)
-    # far-corner circle filled, interior navy, blended rect correct
-    assert np.allclose(img[H - 90, W - 100], [1, 1, 0, 1], atol=1e-3)
-    assert np.allclose(img[100, 100], [0, 0, 0.5, 1], atol=1e-3)
-    exp = np.array([0.5, 0, 0.25, 1.0])   # red a=.5 over navy
-    assert np.allclose(img[H - 30, 100], exp, atol=2e-3)
+    Runs in a fresh subprocess: XLA's CPU compiler segfaults on this
+    (large-tile-count) program when the parent's heap is already several
+    GB deep into a long pytest session; a clean interpreter compiles and
+    runs it fine."""
+    import os
+    import subprocess
+    import sys
+    script = """
+import numpy as np
+from vello_tpu import Affine, Fill, RenderParams, Scene
+from vello_tpu.kurbo import circle_path, rect_path
+from vello_tpu.models.renderer import Renderer
+from vello_tpu.peniko import palette
+W, H = 4608, 4352
+s = Scene()
+s.fill(Fill.NON_ZERO, Affine.identity(), palette.NAVY, None,
+       rect_path(0, 0, W, H))
+s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+       circle_path(W - 100.5, H - 90.5, 64))
+s.fill(Fill.EVEN_ODD, Affine.identity(), palette.RED.with_alpha(0.5),
+       None, rect_path(10.25, H - 50.75, 200.5, H - 10.25))
+img = Renderer().render(s, RenderParams(W, H))
+assert img.shape == (H, W, 4)
+assert np.allclose(img[H - 90, W - 100], [1, 1, 0, 1], atol=1e-3)
+assert np.allclose(img[100, 100], [0, 0, 0.5, 1], atol=1e-3)
+exp = np.array([0.5, 0, 0.25, 1.0])
+assert np.allclose(img[H - 30, 100], exp, atol=2e-3), img[H - 30, 100]
+print("large_viewport OK")
+"""
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    env.setdefault("JAX_PLATFORM_NAME", "cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", script], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, f"stdout:{r.stdout}\nstderr:{r.stderr[-2000:]}"
+    assert "large_viewport OK" in r.stdout
+
