@@ -38,14 +38,17 @@ def _touch_rows(scene, size):
         bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
         data4=bufs.get("data4"))
     rects = tiling.tile_alloc(bufs["path_rect"], wt, ht)
-    n_edge = max(caps.n_lines // 4, 256)
+    n_edge = caps.n_edges
     fl = flatten_ops.flatten(decoded, caps.n_lines, n_edge,
                              float(wt * TILE_W), float(size),
                              rpack=tiling.rect_pack(rects))
-    lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
-    lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
-    lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
-    lreal = jnp.concatenate([fl["line_real"], fl["edge_valid"]], axis=0)
+    # Edges first + always-producing: the fused expansion's density
+    # precondition (see tiling._make_touches_fused).
+    ones_e = jnp.ones(fl["edge_lines"].shape[0], bool)
+    lines = jnp.concatenate([fl["edge_lines"], fl["lines"]], axis=0)
+    lpath = jnp.concatenate([fl["edge_path"], fl["line_path"]], axis=0)
+    lrect = jnp.concatenate([fl["edge_rect"], fl["line_rect"]], axis=0)
+    lreal = jnp.concatenate([ones_e, fl["line_real"]], axis=0)
     return lines, lpath, rects, lrect, lreal
 
 

@@ -41,6 +41,19 @@ def next_tier_size(n: int) -> int:
     return p
 
 
+def next_size(n: int, align: int = 1024) -> int:
+    """Fine capacity quantization: next multiple of max(align, 2^k/16) —
+    the worst-case pad waste drops from 33% (1.5x tiers) to ~6%. Every
+    device stage's cost scales with the CAPACITY, not the live count (a
+    measured 20% of the msaa frame was tier padding), so the big per-touch /
+    per-line buffers use this; small host-side buffers keep coarse tiers to
+    bound the number of compile variants. next_pow2(n-1+1)... uses the
+    power covering n itself so a value just past 2^k keeps ~2^k/16 steps."""
+    n = max(int(n), 1)
+    step = max(align, next_pow2(n) >> 4)
+    return (n + step - 1) // step * step
+
+
 @dataclass(frozen=True)
 class Capacities:
     """Static buffer capacities — the shape signature of the jitted pipeline.
@@ -60,31 +73,44 @@ class Capacities:
     n_transforms: int = 1 << 10
     n_styles: int = 1 << 8
     n_ramps: int = 1 << 5
+    # Left-edge-vertical slots. EVERY edge slot emits >= 1 touch (dummy if
+    # dead) to keep the fused expansion's slot space dense, so this must
+    # track the estimator's exact crossing count, not a fraction of
+    # n_lines — the dummies bill against n_touches.
+    n_edges: int = 256
 
     def key(self) -> Tuple[int, ...]:
         return (self.n_tags, self.n_points, self.n_segs, self.n_lines,
                 self.n_touches, self.n_path_tiles, self.n_paths,
-                self.n_transforms, self.n_styles, self.n_ramps)
+                self.n_transforms, self.n_styles, self.n_ramps,
+                self.n_edges)
 
 
 def tier_for(n_tags: int, n_points: int, n_segs: int, est_lines: int,
              est_touches: int, est_path_tiles: int, n_paths: int,
-             n_transforms: int, n_styles: int, n_ramps: int) -> Capacities:
+             n_transforms: int, n_styles: int, n_ramps: int,
+             est_edges: int = 0) -> Capacities:
     """Pick the smallest power-of-two tier covering the estimates."""
     def up(n, lo):
         return max(lo, next_tier_size(max(int(n), 1)))
+
+    def up_fine(n, lo, align):
+        return max(lo, next_size(max(int(n), 1), align))
 
     return Capacities(
         n_tags=up(n_tags, 256),
         n_points=up(n_points, 256),
         n_segs=up(n_segs, 256),
-        n_lines=up(est_lines, 1024),
-        n_touches=up(est_touches, 2048),
-        n_path_tiles=up(est_path_tiles, 1024),
+        # n_lines: multiple of 4096 keeps BLK_F | n_lines and the edge cap
+        # (n_lines/4) BLK-aligned; n_touches: multiple of BLK_X.
+        n_lines=up_fine(est_lines, 1024, 4096),
+        n_touches=up_fine(est_touches, 2048, 1024),
+        n_path_tiles=up_fine(est_path_tiles, 1024, 1024),
         n_paths=up(n_paths, 64),
         n_transforms=up(n_transforms, 64),
         n_styles=up(n_styles, 16),
         n_ramps=up(n_ramps, 4),
+        n_edges=up_fine(est_edges + 64, 256, 256),
     )
 
 

@@ -59,37 +59,36 @@ def _pad(a: np.ndarray, n: int, fill=0):
 
 
 def pack_buffers(rs: ResolvedScene, caps: Capacities,
-                 params: RenderParams) -> dict:
-    """Pad resolved-scene arrays to the tier's static shapes."""
-    data = _pad(rs.data, caps.n_points)
-    # Shifted windows: data4[i, k] == data[i + k] — lets the device decode a
-    # segment's up-to-4 control points with one row gather.
-    data4 = np.stack([np.roll(data, -k, axis=0) for k in range(4)], axis=1)
+                 params: RenderParams, slim: bool = False,
+                 paint8: bool = False) -> dict:
+    """Pad resolved-scene arrays to the tier's static shapes.
+
+    slim=True emits only the buffers the fused Pallas geometry path reads
+    (see pipeline.render.wants_fused_geom) — the tag/data streams and the
+    split paint tables are XLA-fallback-only and cost ~20 MB of tunnel
+    upload per scene. paint8=True (solid-color scenes, no layers) shrinks
+    paint_pack to its first 8 columns (kind + color + padding); the fine
+    solid fast path only reads cols 1:5."""
     # All per-path paint fields in one matrix: the fine stage fetches them
     # with ONE row gather per fragment (TPU gathers cost per row, not per
     # column; six separate gathers were ~3 ms/frame at the mmark tier).
-    paint_pack = np.concatenate([
-        rs.paint_kind[:, None].astype(np.float32),
-        rs.color, rs.grad_rec, rs.paint_inv, rs.image_rec, rs.blur_rec,
-        rs.path_kind[:, None].astype(np.float32),
-    ], axis=1)                                            # (P, 40)
-    return {
-        "tags": _pad(rs.tags.astype(np.int32), caps.n_tags),
-        "data": data,
-        "data4": data4.astype(np.float32),
-        "transforms": _pad(rs.transforms, caps.n_transforms),
-        "styles": _pad(rs.styles, caps.n_styles),
-        "paint_kind": _pad(rs.paint_kind, caps.n_paths),
+    if paint8:
+        paint_pack = np.concatenate([
+            rs.paint_kind[:, None].astype(np.float32),
+            rs.color, np.zeros((len(rs.color), 3), np.float32),
+        ], axis=1)                                        # (P, 8)
+    else:
+        paint_pack = np.concatenate([
+            rs.paint_kind[:, None].astype(np.float32),
+            rs.color, rs.grad_rec, rs.paint_inv, rs.image_rec, rs.blur_rec,
+            rs.path_kind[:, None].astype(np.float32),
+        ], axis=1)                                        # (P, 40)
+    out = {
         "fill_rule": _pad(rs.fill_rule, caps.n_paths),
-        "color": _pad(rs.color, caps.n_paths),
-        "grad_rec": _pad(rs.grad_rec, caps.n_paths),
-        "paint_inv": _pad(rs.paint_inv, caps.n_paths),
-        "image_rec": _pad(rs.image_rec, caps.n_paths),
-        "blur_rec": _pad(rs.blur_rec, caps.n_paths),
         "path_kind": _pad(rs.path_kind, caps.n_paths),
         "path_rect": _pad(rs.path_rect, caps.n_paths),
         "paint_pack": _pad(paint_pack, caps.n_paths),
-        # compacted segment arrays for the fused flatten (tag streams above
+        # compacted segment arrays for the fused flatten (the tag streams
         # drive the XLA fallback; real segments are contiguous here)
         "seg_pts": _pad(rs.seg_pts, caps.n_segs),
         "seg_tmat": _pad(rs.seg_tmat, caps.n_segs),
@@ -105,6 +104,21 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         "atlas": rs.atlas,
         "base_color": np.asarray(params.base_color, dtype=np.float32),
     }
+    if not slim:
+        data = _pad(rs.data, caps.n_points)
+        out.update({
+            "tags": _pad(rs.tags.astype(np.int32), caps.n_tags),
+            "data": data,
+            "transforms": _pad(rs.transforms, caps.n_transforms),
+            "styles": _pad(rs.styles, caps.n_styles),
+            "paint_kind": _pad(rs.paint_kind, caps.n_paths),
+            "color": _pad(rs.color, caps.n_paths),
+            "grad_rec": _pad(rs.grad_rec, caps.n_paths),
+            "paint_inv": _pad(rs.paint_inv, caps.n_paths),
+            "image_rec": _pad(rs.image_rec, caps.n_paths),
+            "blur_rec": _pad(rs.blur_rec, caps.n_paths),
+        })
+    return out
 
 
 class Renderer:
@@ -158,7 +172,8 @@ class Renderer:
         stages = profile_stages(compiled, bufs)
         self.last_profile = {"stages": stages, "tier": dict(zip(
             ["tags", "points", "segs", "lines", "touches", "path_tiles",
-             "paths", "transforms", "styles", "ramps"], caps.key()))}
+             "paths", "transforms", "styles", "ramps", "edges"],
+            caps.key()))}
         return stages
 
     def render(self, scene: Scene, params: RenderParams) -> np.ndarray:
@@ -214,7 +229,7 @@ class Renderer:
             from ..pipeline.layered import (build_layer_plan,
                                             get_layered_pipeline)
             plan, plan_dyn, scan_key, has_lfilter = build_layer_plan(rs)
-        from ..encoding.config import next_tier_size
+        from ..encoding.config import next_size
         # Live-fragment cap: coverage can't exceed the touched tiles (plus a
         # margin for backdrop-only interiors); retry bit 16 grows it.
         # est_live is an exact f64 upper bound (0.5 px padded); the margin
@@ -222,13 +237,14 @@ class Renderer:
         # underestimate costs one retry (bit 16), an over-wide margin pushes
         # dense scenes over the next tier and disables culling entirely.
         n_live = min(caps.n_path_tiles,
-                     next_tier_size(min(caps.n_path_tiles,
-                                        rs.est_live + 64 + rs.n_paths // 16)))
+                     next_size(min(caps.n_path_tiles,
+                                   rs.est_live + 64 + rs.n_paths // 16), align=128))
         # even-odd specialization only keys the msaa resolve kernel; keep
         # the area-AA jit key stable
         has_eo = True
         if params.antialiasing in ("msaa8", "msaa16"):
             has_eo = bool((rs.fill_rule == 1).any())
+        has_edge = bool(getattr(rs, "has_left_edge", True))
         from ..utils.log import get_logger
         log = get_logger()
         for attempt in range(self.max_retries + 1):
@@ -238,19 +254,26 @@ class Renderer:
                 aa=params.antialiasing, has_evenodd=has_eo,
                 lowp=(getattr(params, "render_mode", "quality")
                       == "speed"),
-                n_live=0 if n_live >= caps.n_path_tiles else n_live)
+                n_live=0 if n_live >= caps.n_path_tiles else n_live,
+                has_edge=has_edge)
             # Re-rendering the same resolved scene (animation loops, profiling,
             # serving) must not re-pack + re-upload ~MBs of buffers per frame —
             # through the tunneled backend the transfer dwarfs the frame.
             # Cache the device-resident buffers on the ResolvedScene, keyed by
             # the tier + params (retries at a bigger tier re-pack).
-            cache_key = (caps.key(), params.width, params.height)
+            from ..pipeline.render import wants_fused_geom
+            slim = wants_fused_geom(caps)
+            paint8 = (slim and not has_layers
+                      and set(kinds) <= {0})
+            cache_key = (caps.key(), params.width, params.height, slim,
+                         paint8)
             cached = getattr(rs, "_device_bufs", None)
             if cached is not None and cached[0] == cache_key:
                 bufs = cached[1]
             else:
                 bufs = {k: jax.device_put(np.asarray(v)) for k, v in
-                        pack_buffers(rs, caps, params).items()}
+                        pack_buffers(rs, caps, params, slim=slim,
+                                     paint8=paint8).items()}
                 object.__setattr__(rs, "_device_bufs", (cache_key, bufs))
             if has_layers:
                 img, overflow = get_layered_pipeline(
@@ -278,7 +301,7 @@ class Renderer:
                     "tier": dict(zip(
                         ["tags", "points", "segs", "lines", "touches",
                          "path_tiles", "paths", "transforms", "styles",
-                         "ramps"], caps.key())),
+                         "ramps", "edges"], caps.key())),
                     "retries": attempt,
                     "layered": has_layers,
                     "n_live": static.n_live,
@@ -288,15 +311,20 @@ class Renderer:
                 }
                 return out
             # Grow the overflowed buffers (robust-memory retry).
+            if overflow & 32:
+                # conservative hull test missed a left-edge crossing:
+                # re-enable the edge-vertical path (capacities unchanged)
+                has_edge = True
             if overflow & 16:
                 n_live *= 2
             caps = Capacities(
                 n_tags=caps.n_tags, n_points=caps.n_points,
                 n_segs=caps.n_segs,
-                n_lines=caps.n_lines * (2 if overflow & 3 else 1),
+                n_lines=caps.n_lines * (2 if overflow & 1 else 1),
                 n_touches=caps.n_touches * (2 if overflow & 4 else 1),
                 n_path_tiles=caps.n_path_tiles * (2 if overflow & 8 else 1),
                 n_paths=caps.n_paths, n_transforms=caps.n_transforms,
-                n_styles=caps.n_styles, n_ramps=caps.n_ramps)
+                n_styles=caps.n_styles, n_ramps=caps.n_ramps,
+                n_edges=caps.n_edges * (2 if overflow & 2 else 1))
         raise RuntimeError(f"render overflow persisted after "
                            f"{self.max_retries} retries (flags={overflow})")

@@ -74,12 +74,12 @@ def expand_by_counts(counts, out_size):
     # recoverable from the key itself (packed >> 1) for tag-1 entries.
     packed = jnp.concatenate([incl.astype(jnp.int32) * 2,
                               pos * 2 + 1])
-    (k_s,) = jax.lax.sort((packed,), num_keys=1)
+    (k_s,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
     t_s = k_s & 1                     # 1 = output position entry
     seg = jnp.cumsum(1 - t_s)         # markers passed = source element index
     # restore output order: position entries (tag 1) sorted by position
     key2 = jnp.where(t_s == 1, k_s >> 1, jnp.int32(2 ** 30))
-    _, seg_out = jax.lax.sort((key2, seg), num_keys=1)
+    _, seg_out = jax.lax.sort((key2, seg), num_keys=1, is_stable=False)
     idx = jnp.clip(seg_out[:out_size], 0, max(s - 1, 0)).astype(jnp.int32)
     # Within-element index WITHOUT a gather (offs[idx] costs ~10ns/row on
     # TPU): output positions of element k are exactly [offs[k], incl[k]), so

@@ -116,13 +116,18 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=False):
 # the open fragment across blocks, resolves coverage per fragment row, and
 # maps it back to each fragment's LAST touch row of the (T, 256) output.
 
-CK_M = 224                 # touches per grid step (msaa)
+CK_M = 112                 # touches per grid step (msaa)
 WF_M = CK_M + 16           # fragment-window rows: touched-fragment ids are
                            # DENSE ranks in the sorted touch stream, so a
                            # CK-touch block spans <= CK+1 ranks (+8 align).
-                           # WF = 128 keeps the fold matmul at one MXU
-                           # M-tile: (144,...) pads to 256 rows and halves
-                           # the effective MAC rate.
+                           # CK=112/WF=128 keeps the fold matmul at ONE MXU
+                           # M-tile (128 rows) and one K-tile: the fold is
+                           # the kernel's MXU floor at WFpad*ns*256 MACs per
+                           # touch, so 128x128 halves it vs the earlier
+                           # 224 -> (256, 256) padded shape. (Measured: with
+                           # the round-2 VPU-heavy delta math both shapes
+                           # were ~equal; after the delta diet the MXU
+                           # share dominates and 112 wins.)
 
 
 def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
@@ -158,14 +163,18 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
     sgn = jnp.where(dy > 0.0, -1.0, 1.0)
     sgn_dx = jnp.sign(dx)
     # one vectorized (CK, ns*256) pass: column s*256+px is sample s of
-    # pixel px; sample coordinates ride two constant input rows
+    # pixel px; sample coordinates ride two constant input rows.
+    # (bf16 selects here trip a Mosaic i1-relayout error — the masks come
+    # from f32 compares in (8,128) layout, bf16 operands need (16,128) —
+    # so the deltas stay f32 and convert once at the fold.)
     sxc = sxy_ref[0:1, :]                               # (1, ns*256)
     syc = sxy_ref[1:2, :]
     crossing = (syc >= ymin) & (syc < ymax)
     a = inv_dy * dx                                     # narrow precompute
     xt = x0 + (syc - y0) * a
-    delta = jnp.where(crossing & (xt < sxc), sgn, 0.0) \
-        + jnp.where(syc >= ye, sgn_dx, 0.0)             # (CK, ns*256)
+    delta = (jnp.where(crossing & (xt < sxc), sgn, 0.0)
+             + jnp.where(syc >= ye, sgn_dx, 0.0)
+             ).astype(jnp.bfloat16)                     # (CK, ns*256)
 
     # fold into the fragment window (one-hot bf16 matmul, exact for the
     # small-integer deltas; f32 accumulate). The one-hot is built in the
@@ -179,7 +188,7 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
         jnp.int32, (1, WF_M), 1).astype(jnp.float32)    # (1, WF)
     ohT_fold = (ftl_col == wiota_r).astype(jnp.bfloat16)   # (CK, WF)
     acc = jax.lax.dot_general(
-        ohT_fold, delta.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        ohT_fold, delta, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (WF, ns*256)
     # carry in the open fragment's partial sums (masked broadcast-add:
     # exact f32, no matmul)
@@ -210,21 +219,29 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
     cp.wait()
     bd = bwin_ref[:, 0:1]                               # (WF, 1)
     w = acc + bd                                        # (WF, ns*256)
-    filled = jnp.minimum(jnp.abs(w), 1.0)
     if has_evenodd:
+        # even-odd parity needs exact integers beyond bf16's 2^8 range
+        filled = jnp.minimum(jnp.abs(w), 1.0)
         eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
         filled = jnp.where(bwin_ref[:, 1:2] == 1.0, eo, filled)
-    cov = filled[:, :NPX]
+        cov16 = filled.astype(jnp.bfloat16)
+    else:
+        # nonzero-only resolve in bf16: |w| >= 1 stays >= 1 under bf16
+        # rounding however large w gets, so min(|w|,1) in {0,1} is exact —
+        # and the sample sums (<= ns) and 1/ns scale are exact too
+        wb = w.astype(jnp.bfloat16)
+        cov16 = jnp.minimum(jnp.abs(wb), jnp.bfloat16(1))
+    cov = cov16[:, :NPX]
     for s in range(1, ns):
-        cov = cov + filled[:, s * NPX:(s + 1) * NPX]
-    cov = cov * (1.0 / ns)
+        cov = cov + cov16[:, s * NPX:(s + 1) * NPX]
+    cov = cov * jnp.bfloat16(1.0 / ns)
 
     # back-map each finished fragment's coverage to its LAST touch row.
     # cov values are k/ns sums: exact in bf16, so a single-pass bf16
     # selection matmul is lossless.
     ohT = ohT_fold * (islast > 0.0).astype(jnp.bfloat16)   # (CK, WF)
     out = jax.lax.dot_general(
-        ohT, cov.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        ohT, cov, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (CK, 256)
     out_ref[...] = out
 

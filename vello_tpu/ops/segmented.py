@@ -33,15 +33,20 @@ def searchsorted_dense(sorted_data: jnp.ndarray, n_queries: int,
     else:                  # result[k] = #data <= k (query after equal data)
         packed = jnp.concatenate([d * 2, q * 2 + 1])
         qpar = 1
-    (k_s,) = jax.lax.sort((packed,), num_keys=1)
+    # UNSTABLE sorts: packed keys are all distinct (the parity bit
+    # disambiguates data from queries), and a stable TPU sort silently
+    # moves a hidden iota tiebreaker channel through every merge pass
+    # (~35% of the sort time at the mmark tier).
+    (k_s,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
     j = jnp.arange(n_d + n_queries, dtype=jnp.int32)
     isq = (k_s & 1) == qpar
     # The k-th query's merged slot j_k has exactly j_k - k data elements
     # before it, and queries keep their k order through the merge — so
     # sorting just the query slot POSITIONS (1 operand, no payload) and
-    # subtracting arange gives the dense answer directly.
+    # subtracting arange gives the dense answer directly. (Positions are
+    # distinct except the dump fill, whose order is irrelevant.)
     pos = jnp.where(isq, j, jnp.int32(2 ** 30))
-    (pos_s,) = jax.lax.sort((pos,), num_keys=1)
+    (pos_s,) = jax.lax.sort((pos,), num_keys=1, is_stable=False)
     return pos_s[:n_queries] - jnp.arange(n_queries, dtype=jnp.int32)
 
 
@@ -144,12 +149,13 @@ def lookup_sorted(keys: jnp.ndarray, queries: jnp.ndarray):
     # sort queries (carrying their position)
     q_s, pos_s = jax.lax.sort((qc, pos), num_keys=1)
     # merge: data first at equal values => idx = (#data <= q) - 1
+    # (equal queries get equal answers, so the unstable merge is exact)
     packed = jnp.concatenate([keys.astype(jnp.int32) * 2, q_s * 2 + 1])
-    (m,) = jax.lax.sort((packed,), num_keys=1)
+    (m,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
     isq = (m & 1) == 1
     j = jnp.arange(n + q, dtype=jnp.int32)
     qslot = jnp.where(isq, j, jnp.int32(2 ** 30))
-    (qslot_s,) = jax.lax.sort((qslot,), num_keys=1)
+    (qslot_s,) = jax.lax.sort((qslot,), num_keys=1, is_stable=False)
     idx_sq = qslot_s[:q] - jnp.arange(q, dtype=jnp.int32) - 1
     # back to query order
     _, idx = jax.lax.sort((pos_s, idx_sq), num_keys=1)

@@ -329,9 +329,15 @@ def _make_touches_fused(p, live, line_real, counts, rrow, n_touch_cap,
                         interpret=False):
     """Fused Pallas touch expansion (see pallas_kernels.expand_touches_pallas).
 
-    Every real line slot emits >= 1 touch (dead ones one dump dummy), which
+    Every line_real slot emits >= 1 touch (dead ones one dump dummy), which
     bounds the per-block line window and removes both expansion sorts and
-    the per-touch line-field gather."""
+    the per-touch line-field gather.
+
+    PRECONDITION (window invariant): non-producing slots (line_real False)
+    must only appear as TRAILING padding — any >WIN_X-256 run of dead slots
+    between producers silently drops the later producers' touches. Callers
+    concatenating regions put the small region first and mark all its slots
+    line_real=True (see prepare_fragments / make_touches_from_linepack)."""
     from .pallas_kernels import WIN_X, expand_touches_pallas, BLK_X
 
     live = live & (p["count"] > 0)
@@ -361,16 +367,50 @@ def _make_touches_fused(p, live, line_real, counts, rrow, n_touch_cap,
 
 
 def make_touches_from_linepack(linepack, total_lines, n_touch_cap,
-                               n_edge_cap, interpret=False):
+                               n_edge_cap, interpret=False, has_edge=True):
     """Touch expansion from the fused flatten's (16, L) line pack.
 
     Edge verticals (left-viewport-boundary winding carriers) expand in XLA
     (E is n_lines/4 and usually nearly empty); mid lines come straight from
-    the pack. Both feed the fused Pallas touch expansion."""
+    the pack. Both feed the fused Pallas touch expansion.
+
+    has_edge=False statically skips the edge expansion entirely (its two
+    L-scale sorts were ~2 ms/frame at the mmark tier for scenes that never
+    cross x=0); a device flag (overflow bit 32) catches a wrong host
+    prediction and triggers a retry with the edge path enabled."""
     from .flatten import _EDGE_EPS, expand_by_counts
     from .pallas_kernels import WIN_X, BLK_X, expand_touches_pallas
 
     lnum = linepack.shape[1]
+    if not has_edge:
+        real_line = jnp.arange(lnum, dtype=jnp.int32) < total_lines
+        ecount_seen = jnp.sum(jnp.where(real_line, linepack[7], 0.0))
+        # reported as 16 here; render.py doubles overflow_edges, so the
+        # renderer sees bit 32 = "edge verticals appeared with the edge
+        # path statically disabled" and retries with has_edge=True
+        edge_violation = 16 * (ecount_seen > 0).astype(jnp.int32)
+        tcounts = jnp.where(real_line,
+                            jnp.maximum(linepack[5], 1.0), 0.0
+                            ).astype(jnp.int32)
+        incl = jnp.cumsum(tcounts)
+        total = incl[-1]
+        overflow = (total > n_touch_cap).astype(jnp.int32)
+        offs = (incl - tcounts).astype(jnp.float32)
+        n_all = lnum
+        lpack = jnp.concatenate([
+            linepack[0:5], offs[None], incl.astype(jnp.float32)[None],
+            linepack[6:7], linepack[10:16],
+            jnp.zeros((2, n_all), jnp.float32)], axis=0)   # (16, L)
+        lpack = jnp.pad(lpack, ((0, 0), (0, WIN_X)))
+        g = n_touch_cap // BLK_X
+        qpos = jnp.arange(g, dtype=jnp.int32) * BLK_X
+        s0 = jnp.searchsorted(incl, qpos, side="right").astype(jnp.int32)
+        s0s = jnp.concatenate([(s0 // 128) * 128,
+                               total[None].astype(jnp.int32)])
+        ftile, pay = expand_touches_pallas(lpack, s0s, n_touch_cap,
+                                           interpret=interpret)
+        return {"ftile": ftile, "pay": pay,
+                "overflow": overflow, "overflow_edges": edge_violation}
     # --- edge verticals ---
     ecounts = linepack[7].astype(jnp.int32)
     eix, _, evalid, etotal = expand_by_counts(ecounts, n_edge_cap)
@@ -387,24 +427,32 @@ def make_touches_from_linepack(linepack, total_lines, n_touch_cap,
     etcount = jnp.where(e_live, pe["count"], 0.0)
     eqx0, eqy0, eqx1, eqy1 = pe["q"]
 
-    # --- concatenated touch counts (dead real slots emit 1 dump dummy) ---
+    # --- concatenated touch counts ---
+    # DENSITY INVARIANT: the expansion kernel's line window covers a touch
+    # block only if every slot BEFORE the last producing slot emits >= 1
+    # touch (window = BLK_X + 256 slots). Edges therefore go FIRST and
+    # every edge slot (live or not) emits at least a dump dummy — the mid
+    # region is a dense prefix by construction, so the only dead slots are
+    # trailing padding. (A [mid | edges] order leaves an up-to-L-scale
+    # dead gap between the regions and silently DROPS edge touches once
+    # the gap exceeds the window slack.)
     real_line = jnp.arange(lnum, dtype=jnp.int32) < total_lines
     tc_l = jnp.where(real_line, jnp.maximum(linepack[5], 1.0), 0.0)
-    tc_e = jnp.where(evalid, jnp.maximum(etcount, 1.0), 0.0)
-    tcounts = jnp.concatenate([tc_l, tc_e]).astype(jnp.int32)
+    tc_e = jnp.maximum(etcount, 1.0)
+    tcounts = jnp.concatenate([tc_e, tc_l]).astype(jnp.int32)
     incl = jnp.cumsum(tcounts)
     total = incl[-1]
     overflow = (total > n_touch_cap).astype(jnp.int32)
     offs = (incl - tcounts).astype(jnp.float32)
 
     qrows = jnp.concatenate([
-        linepack[0:5],
         jnp.stack([eqx0, eqy0, eqx1, eqy1,
                    jnp.where(pe["is_down"], 1.0, -1.0)], axis=0),
-    ], axis=1)                                            # (5, L+E)
-    liverow = jnp.concatenate([linepack[6],
-                               e_live.astype(jnp.float32)])[None]
-    rectrows = jnp.concatenate([linepack[10:16], erect.T], axis=1)
+        linepack[0:5],
+    ], axis=1)                                            # (5, E+L)
+    liverow = jnp.concatenate([e_live.astype(jnp.float32),
+                               linepack[6]])[None]
+    rectrows = jnp.concatenate([erect.T, linepack[10:16]], axis=1)
     n_all = qrows.shape[1]
     lpack = jnp.concatenate([
         qrows, offs[None], incl.astype(jnp.float32)[None], liverow,

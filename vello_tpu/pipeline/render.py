@@ -40,6 +40,10 @@ class PipelineStatic:
     has_evenodd: bool = True  # any even-odd fill rule in the scene (static
                               # specialization of the msaa resolve)
     lowp: bool = False        # bf16 fine tensors (OptimizeSpeed analog)
+    has_edge: bool = True     # any geometry may cross the left viewport
+                              # boundary: False statically skips the
+                              # edge-vertical expansion (two L-scale sorts);
+                              # guarded by overflow bit 32 + retry
 
     @property
     def width_tiles(self):
@@ -106,6 +110,20 @@ def _msaa_coverage_at(parts, fidx):
     return jnp.where(pr[:, 3:4] > 0.0, cov, 0.0)
 
 
+def wants_fused_geom(caps: "Capacities") -> bool:
+    """True when the fused Pallas geometry path will be traced for this
+    tier (single-device, no geometry sharding). The renderer mirrors this
+    to upload ONLY the buffers that path reads — the tag/data streams and
+    split paint tables exist for the XLA fallback and cost ~20 MB of
+    tunnel upload per scene otherwise."""
+    import os as _os
+
+    from ..ops.pallas_kernels import BLK_F, BLK_X, use_pallas
+    return (use_pallas() and caps.n_lines % BLK_F == 0
+            and caps.n_touches % BLK_X == 0
+            and not _os.environ.get("VELLO_TPU_NO_FUSED_GEOM"))
+
+
 def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                       keep_clip_paths: bool = False, want_src: bool = True,
                       geom_axis=None, geom_shards: int = 1):
@@ -140,7 +158,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
     overflow_tiles = (rects["total_tiles"] > caps.n_path_tiles
                       ).astype(jnp.int32)
-    n_edge = max(caps.n_lines // 4, 256)
+    n_edge = caps.n_edges
 
     import os as _os
 
@@ -160,7 +178,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                 tiling.rect_pack(rects))
         with jax.named_scope("s03_touch_expand"):
             touches = tiling.make_touches_from_linepack(
-                ff["linepack"], ff["total_lines"], caps.n_touches, n_edge)
+                ff["linepack"], ff["total_lines"], caps.n_touches, n_edge,
+                has_edge=static.has_edge)
         geom_overflow = ff["overflow"] + 2 * touches["overflow_edges"]
     else:
         decoded = pathtag.decode_and_transform(
@@ -191,14 +210,19 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             decoded["kind"] = jnp.where(active, decoded["kind"], 0)
             nl_local = max(caps.n_lines // geom_shards, 1024)
             nt_local = max(caps.n_touches // geom_shards, 1024)
-            ne_local = max(nl_local // 4, 256)
+            ne_local = max(caps.n_edges // geom_shards, 256)
 
         fl = flatten_ops.flatten(decoded, nl_local, ne_local, W, H,
                                  rpack=tiling.rect_pack(rects))
-        lines = jnp.concatenate([fl["lines"], fl["edge_lines"]], axis=0)
-        lpath = jnp.concatenate([fl["line_path"], fl["edge_path"]], axis=0)
-        lrect = jnp.concatenate([fl["line_rect"], fl["edge_rect"]], axis=0)
-        lreal = jnp.concatenate([fl["line_real"], fl["edge_valid"]], axis=0)
+        # Edges FIRST and marked always-producing: the fused expansion's
+        # window invariant needs every slot before the last producer to
+        # emit >= 1 touch (dead edge slots emit a dump dummy); the mid
+        # region is a dense prefix, so only trailing padding is silent.
+        ones_e = jnp.ones(fl["edge_lines"].shape[0], bool)
+        lines = jnp.concatenate([fl["edge_lines"], fl["lines"]], axis=0)
+        lpath = jnp.concatenate([fl["edge_path"], fl["line_path"]], axis=0)
+        lrect = jnp.concatenate([fl["edge_rect"], fl["line_rect"]], axis=0)
+        lreal = jnp.concatenate([ones_e, fl["line_real"]], axis=0)
         touches = tiling.make_touches(lines, lpath, rects, nt_local,
                                       line_rect=lrect, line_real=lreal)
         geom_overflow = fl["overflow"]
@@ -216,7 +240,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
              touches["backdrop_val"][:, None]], axis=-1)      # (T, 6)
     tix = jnp.arange(tpack.shape[0], dtype=jnp.int32)
     with jax.named_scope("s04_coarse_sort"):
-        ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1)
+        # unstable: touch order within a tile is immaterial (winding sums
+        # and boundary masks commute), and stability costs a hidden iota
+        # channel through every merge pass
+        ftile_s, tix_s = jax.lax.sort((touches["ftile"], tix), num_keys=1,
+                                      is_stable=False)
         trow = tpack[tix_s]
     seg_s = trow[:, :4]
     yedge_s = trow[:, 4]
@@ -334,7 +362,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         overflow_live = 16 * (n_live_actual > static.n_live).astype(jnp.int32)
     gtile = jnp.where(owned, (ty - ty_lo) * WT + tx, n_loc)
     with jax.named_scope("s07_fragment_sort"):
-        g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2)
+        # unstable: (gtile, tpath) pairs are unique (one fragment per
+        # (path, tile)), so the 2-key sort needs no tiebreaker
+        g_s, tpath_s, fidx_s = jax.lax.sort((gtile, tpath, t), num_keys=2,
+                                            is_stable=False)
     if static.n_live:
         g_s = g_s[:static.n_live]
         tpath_s = tpath_s[:static.n_live]
