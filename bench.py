@@ -39,17 +39,21 @@ def main():
                           antialiasing=AA)
     rs = resolve(scene.encoding, params)
     caps = rs.capacities(params)
-    from vello_tpu.encoding.config import next_tier_size
+    from vello_tpu.encoding.config import next_size
     n_live = min(caps.n_path_tiles,
-                 next_tier_size(rs.est_live + 64 + rs.n_paths // 16))
+                 next_size(rs.est_live + 64 + rs.n_paths // 16, align=128))
     has_eo = bool((rs.fill_rule == 1).any()) if AA.startswith("msaa") \
         else True
     static = PipelineStatic(
         caps_key=caps.key(), width=SIZE, height=SIZE,
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))),
         aa=AA, has_evenodd=has_eo,
-        n_live=0 if n_live >= caps.n_path_tiles else n_live)
-    bufs = pack_buffers(rs, caps, params)
+        n_live=0 if n_live >= caps.n_path_tiles else n_live,
+        has_edge=bool(getattr(rs, 'has_left_edge', True)))
+    from vello_tpu.pipeline.render import wants_fused_geom
+    _slim = wants_fused_geom(caps)
+    _paint8 = _slim and set(static.kinds_present) <= {0}
+    bufs = pack_buffers(rs, caps, params, slim=_slim, paint8=_paint8)
     bufs = {k: jax.device_put(np.asarray(v)) for k, v in bufs.items()}
     encode_s = time.time() - t0
     fn = get_pipeline(static)
@@ -146,7 +150,8 @@ def main():
             "backend": jax.default_backend(),
             "caps": dict(zip(
                 ["tags", "points", "segs", "lines", "touches", "path_tiles",
-                 "paths", "transforms", "styles", "ramps"], caps.key())),
+                 "paths", "transforms", "styles", "ramps", "edges"],
+                caps.key())),
         },
     }
     print(json.dumps(result))

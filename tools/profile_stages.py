@@ -50,7 +50,7 @@ def main():
             if stage == "decode":
                 return d["points"].sum()
             rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
-            fl = fo.flatten(d, caps.n_lines, max(caps.n_lines // 4, 256),
+            fl = fo.flatten(d, caps.n_lines, caps.n_edges,
                             W, float(size), rpack=tiling.rect_pack(rects))
             if stage == "flatten":
                 return fl["lines"].sum() + fl["edge_lines"].sum()

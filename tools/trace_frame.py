@@ -25,7 +25,7 @@ sys.path.insert(0, ".")
 def build(complexity, size, aa="area"):
     import jax
     from vello_tpu import RenderParams
-    from vello_tpu.encoding.config import next_tier_size
+    from vello_tpu.encoding.config import next_size
     from vello_tpu.encoding.resolve import resolve
     from vello_tpu.models.renderer import pack_buffers
     from vello_tpu.pipeline.render import PipelineStatic, render_frame
@@ -37,16 +37,21 @@ def build(complexity, size, aa="area"):
     rs = resolve(scene.encoding, params)
     caps = rs.capacities(params)
     n_live = min(caps.n_path_tiles,
-                 next_tier_size(rs.est_live + 64 + rs.n_paths // 16))
+                 next_size(rs.est_live + 64 + rs.n_paths // 16, align=128))
     static = PipelineStatic(
         caps_key=caps.key(), width=size, height=size,
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))),
         aa=aa,
         has_evenodd=(bool((rs.fill_rule == 1).any())
                      if aa.startswith("msaa") else True),
-        n_live=0 if n_live >= caps.n_path_tiles else n_live)
+        n_live=0 if n_live >= caps.n_path_tiles else n_live,
+        has_edge=bool(getattr(rs, 'has_left_edge', True)))
+    from vello_tpu.pipeline.render import wants_fused_geom
+    _slim = wants_fused_geom(caps)
+    _paint8 = _slim and set(static.kinds_present) <= {0}
     bufs = {k: jax.device_put(np.asarray(v))
-            for k, v in pack_buffers(rs, caps, params).items()}
+            for k, v in pack_buffers(rs, caps, params, slim=_slim,
+                                     paint8=_paint8).items()}
     from functools import partial
     fn = jax.jit(partial(render_frame, static=static))
     return fn, bufs

@@ -67,6 +67,11 @@ class DrawRecord:
     blur_std_dev: float = 0.0
     # layer filter: (kind, sigma, dx, dy, r, g, b, a) — see ops/filters.py
     layer_filter: Optional[Tuple] = None
+    # Batched solid fills (Scene.fill_batch): this ONE record stands for
+    # batch_colors.shape[0] consecutive color draws — the resolver assigns
+    # the whole block vectorised instead of walking N Python records
+    # (30k records cost ~0.3 s/frame of pure interpreter overhead).
+    batch_colors: Optional[np.ndarray] = None   # (N, 4) straight RGBA
 
 
 class Encoding:
@@ -170,6 +175,31 @@ class Encoding:
 
     def encode_draw(self, rec: DrawRecord) -> None:
         self.draws.append(rec)
+
+    def encode_path_batch(self, pts: np.ndarray, seg_kind: int) -> int:
+        """Encode N single-subpath CLOSED paths with a uniform segment kind
+        in one vectorised append (the batched-SceneBuilder role; reference
+        encodes per path, ``vello_encoding/src/path.rs``, but its Rust
+        per-call cost is ~ns — the Python equivalent is the host-encode
+        bottleneck at mmark scale, so the batch API exists here).
+
+        pts: (N, 1 + kind*k, 2) f32 — moveto point then k segments' control
+        points. Paths must end at their start point (no auto-close line).
+        Returns the number of paths encoded."""
+        pts = np.asarray(pts, dtype=np.float32)
+        n, p, _ = pts.shape
+        k, rem = divmod(p - 1, seg_kind)
+        if n == 0 or k <= 0 or rem:
+            raise ValueError(f"bad batch shape {pts.shape} for kind "
+                             f"{seg_kind}")
+        tpl = np.full(k + 1, seg_kind, dtype=np.int64)
+        tpl[k - 1] |= TAG_END_BIT
+        tpl[k] = TAG_PATH
+        self.path_tags.extend(np.tile(tpl, n).tolist())
+        self.path_data.extend(pts.reshape(-1).tolist())
+        self.n_paths += n
+        self.n_path_segments += n * k
+        return n
 
     def append(self, other: "Encoding", transform: Affine = None) -> None:
         """Append another encoding, optionally rebasing its transforms

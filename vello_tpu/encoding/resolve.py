@@ -84,6 +84,13 @@ class ResolvedScene:
     est_touches: int = 0
     est_path_tiles: int = 0
     est_live: int = 0
+    est_edges: int = 0
+    # conservative host flag: any geometry may cross the left viewport
+    # boundary (x = EDGE_EPS)? When False the pipeline statically skips the
+    # edge-vertical expansion (two L-scale device sorts); a device-side
+    # guard flag triggers a retry with the edge path enabled if the
+    # conservative hull test was ever wrong.
+    has_left_edge: bool = True
 
     def capacities(self, params: RenderParams) -> Capacities:
         return tier_for(
@@ -92,7 +99,7 @@ class ResolvedScene:
             est_touches=self.est_touches,
             est_path_tiles=self.est_path_tiles, n_paths=self.n_paths,
             n_transforms=len(self.transforms), n_styles=len(self.styles),
-            n_ramps=max(len(self.ramps), 1))
+            n_ramps=max(len(self.ramps), 1), est_edges=self.est_edges)
 
 
 class RampCache:
@@ -449,6 +456,19 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
                                     rec.alpha, clip_ix, rec.fill_rule,
                                     rec.layer_filter))
             continue
+        if rec.batch_colors is not None:
+            # Batched solid fills (Scene.fill_batch): one record covers N
+            # consecutive paths; premultiply + assign the block vectorised.
+            bc = rec.batch_colors
+            nb = bc.shape[0]
+            p = path_cursor
+            path_cursor += nb
+            draw_path_ix[d] = p
+            paint_kind[p:p + nb] = PAINT_COLOR
+            pm = bc.copy()
+            pm[:, :3] *= pm[:, 3:4]
+            color[p:p + nb] = pm
+            continue
         # geometric draw
         p = path_cursor
         path_cursor += 1
@@ -487,6 +507,13 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
 
     est_lines, est_touches, est_path_tiles, est_live, path_rect = _estimate(
         decoded, transforms, params)
+    has_left_edge = _hull_crosses_left_edge(decoded)
+    est_edges = 0
+    if has_left_edge:
+        est_edges, est_edge_touches = _estimate_edges(decoded)
+        # every edge slot emits >= 1 touch (dummies for dead slots), and
+        # the slot capacity is padded by tier_for — bill the worst case
+        est_touches += est_edge_touches + est_edges + 512
     if len(path_rect) < P:
         path_rect = np.concatenate(
             [path_rect, np.zeros((P - len(path_rect), 4), np.int32)])
@@ -504,4 +531,40 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         seg_kind=decoded["kind"].astype(np.int32),
         ramps=ramp_cache.array(), atlas=atlas.array(),
         est_lines=est_lines, est_touches=est_touches,
-        est_path_tiles=est_path_tiles, est_live=est_live)
+        est_path_tiles=est_path_tiles, est_live=est_live,
+        est_edges=est_edges, has_left_edge=has_left_edge)
+
+
+def _estimate_edges(decoded):
+    """Exact-ish count of left-edge verticals: flatten on host (f64) and
+    count lines crossing x = EDGE_EPS, plus their touch spans. Only runs
+    for scenes whose hull reaches the left boundary."""
+    from .host_flatten import flatten_decoded
+    lines, _ = flatten_decoded(decoded)
+    if not len(lines):
+        return 0, 0
+    lo = 1.0 / 64.0
+    x0, x1 = lines[:, 0], lines[:, 2]
+    crossing = (np.minimum(x0, x1) < lo) & (np.maximum(x0, x1) > lo)
+    n = int(crossing.sum())
+    ys = np.abs(lines[crossing, 3] - lines[crossing, 1]) / TILE_H
+    return n, int(np.ceil(ys).sum()) + 2 * n
+
+
+def _hull_crosses_left_edge(decoded) -> bool:
+    """Conservative: does ANY transformed control hull reach x < EDGE_EPS?
+    The flattened lines lie inside the control hull, so a hull min-x at or
+    right of the boundary guarantees no left-edge vertical is emitted
+    (flatten.wgsl's viewport-clamp winding carriers, ops/flatten.py)."""
+    kind = decoded["kind"]
+    if len(kind) == 0:
+        return False
+    pts = decoded["points"].astype(np.float64)
+    t = decoded["transform"].astype(np.float64)
+    x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] \
+        + t[:, None, 4]
+    npts = np.where(kind == 1, 2, np.where(kind == 2, 3,
+                    np.where(kind == 3, 4, 0)))
+    mask = np.arange(4)[None, :] < npts[:, None]
+    mn = np.where(mask, x, np.inf).min()
+    return bool(mn < (1.0 / 64.0) + 0.5)

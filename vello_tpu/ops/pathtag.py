@@ -52,6 +52,12 @@ def decode_and_transform(tags, data, transforms, styles, data4=None):
     kind = scan["kind"]
     off = scan["pt_off"]
     npt = len(data)
+    if data4 is None and npt:
+        # Build the shifted windows ON DEVICE (4 cheap rolls) — uploading
+        # a host-built data4 costs 4x the data stream in tunnel transfer,
+        # and 4 separate row gathers cost 4x the gather time.
+        data4 = jnp.stack([jnp.roll(data, -k, axis=0) for k in range(4)],
+                          axis=1)
     if data4 is not None:
         idx = jnp.clip(off, 0, max(npt - 1, 0))
         pts = data4[idx]                      # (T, 4, 2)

@@ -54,6 +54,28 @@ class Scene:
             kind=_brush_kind(brush), fill_rule=int(style), brush=brush,
             brush_transform=brush_transform))
 
+    def fill_batch(self, style: Union[Fill, int], transform: Affine,
+                   colors: np.ndarray, pts: np.ndarray,
+                   seg_kind: str = "cubic") -> None:
+        """Batched solid-color fills: N closed single-subpath paths with a
+        uniform segment kind, one vectorised encode + ONE draw record.
+
+        colors: (N, 4) straight-alpha RGBA in [0, 1].
+        pts: (N, 1 + k*s, 2) f32 — moveto + k segments (s = 1 line /
+        2 quad / 3 cubic control points each); each path must end at its
+        start point. The per-path loop equivalent costs ~75 us/path in
+        Python (2.3 s at mmark-30k); this costs ~3 us/path."""
+        kind_n = {"line": 1, "quad": 2, "cubic": 3}[seg_kind]
+        colors = np.asarray(colors, dtype=np.float32).reshape(-1, 4)
+        if colors.shape[0] != np.asarray(pts).shape[0]:
+            raise ValueError("colors/pts batch size mismatch")
+        self.encoding.encode_transform(transform)
+        self.encoding.encode_fill_style(Fill(int(style)))
+        n = self.encoding.encode_path_batch(pts, kind_n)
+        self.encoding.encode_draw(DrawRecord(
+            kind=DRAW_COLOR, fill_rule=int(style), batch_colors=colors))
+        del n
+
     def stroke(self, style: Stroke, transform: Affine, brush: Brush,
                brush_transform: Optional[Affine], path: BezPath) -> None:
         if style.width <= 0:
@@ -139,6 +161,15 @@ class Scene:
         prior content (reference: Scene::push_luminance_mask_layer,
         scene.rs:154-168)."""
         self.push_layer(BlendMode(Mix.LUMINANCE_MASK, Compose.SRC_OVER),
+                        alpha, transform, clip_path, fill_rule)
+
+    def push_alpha_mask_layer(self, alpha: float, transform: Affine,
+                              clip_path: Optional[BezPath],
+                              fill_rule: Fill = Fill.NON_ZERO) -> None:
+        """Content drawn in this layer masks the prior content by its
+        ALPHA (reference Mask::new_alpha, vello_common/src/mask.rs, as a
+        layer; luminance variant above)."""
+        self.push_layer(BlendMode(Mix.ALPHA_MASK, Compose.SRC_OVER),
                         alpha, transform, clip_path, fill_rule)
 
     def push_clip_layer(self, transform: Affine, clip_path: BezPath,

@@ -262,18 +262,28 @@ def filled_mmark(complexity: int = 1, size: float = 1024.0,
     rng = np.random.default_rng(seed)
     s = Scene()
     width, height = size, size * 0.75
-    for i in range(n):
-        cx, cy = rng.uniform([20, 20], [width - 20, height - 20])
-        r = rng.uniform(3, 14)
-        p = BezPath().move_to(cx + r, cy)
-        kk = 0.5523 * r
-        p.curve_to(cx + r, cy + kk, cx + kk, cy + r, cx, cy + r)
-        p.curve_to(cx - kk, cy + r, cx - r, cy + kk, cx - r, cy)
-        p.curve_to(cx - r, cy - kk, cx - kk, cy - r, cx, cy - r)
-        p.curve_to(cx + kk, cy - r, cx + r, cy - kk, cx + r, cy)
-        p.close()
-        c = COLORS[i % 12].with_alpha(0.8)
-        s.fill(Fill.NON_ZERO, Affine.identity(), c, None, p)
+    # Vectorised build via the batch API (the per-path Python loop cost
+    # 2.3 s at 30k paths — ~40% of the old host encode).
+    cxy = rng.uniform([20, 20], [width - 20, height - 20], size=(n, 2))
+    r = rng.uniform(3, 14, size=n)
+    cx, cy = cxy[:, 0], cxy[:, 1]
+    kk = 0.5523 * r
+    z = np.zeros_like(r)
+
+    def pt(dx, dy):
+        return np.stack([cx + dx, cy + dy], axis=-1)
+
+    pts = np.stack([
+        pt(r, z),
+        pt(r, kk), pt(kk, r), pt(z, r),
+        pt(-kk, r), pt(-r, kk), pt(-r, z),
+        pt(-r, -kk), pt(-kk, -r), pt(z, -r),
+        pt(kk, -r), pt(r, -kk), pt(r, z),
+    ], axis=1).astype(np.float32)                     # (n, 13, 2)
+    colors = np.asarray(
+        [(COLORS[i % 12].r, COLORS[i % 12].g, COLORS[i % 12].b, 0.8)
+         for i in range(12)], dtype=np.float32)[np.arange(n) % 12]
+    s.fill_batch(Fill.NON_ZERO, Affine.identity(), colors, pts)
     return s
 
 
