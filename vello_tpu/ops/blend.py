@@ -188,6 +188,12 @@ def luminance_mask(xp, backdrop, fg):
     return backdrop * lum[..., None]
 
 
+def alpha_mask(xp, backdrop, fg):
+    """bg * clamp(fg.a, 0, 1) — the alpha-mask pop (Mask::new_alpha role,
+    reference vello_common/src/mask.rs)."""
+    return backdrop * xp.clip(fg[..., 3:4], 0.0, 1.0)
+
+
 def src_over(xp, backdrop, src):
     """Premultiplied source-over (the hot default)."""
     return src + backdrop * (1.0 - src[..., 3:4])

@@ -112,6 +112,110 @@ FILTER_OFFSET = 3
 FILTER_FLOOD = 4
 
 
+# ---------------------------------------------------------------------------
+# Dynamic-parameter variants (params are TRACED values, not Python floats):
+# the plan-as-data layered compositor keeps filter kind+params in the op
+# table, so one executable serves every filtered layer structure — the op
+# STRUCTURE is fixed (3 box passes per axis, roll+mask, ...), only radii /
+# offsets / colors are data. (Replaces the unrolled-pipeline fallback that
+# recompiled per layer structure; reference treats filters as ordinary
+# per-layer commands, vello_cpu/src/filter/.)
+
+def _box_blur_axis_dyn(jnp, img, radius, axis: int):
+    """Box blur with a TRACED integer radius (0 = exact identity)."""
+    n = img.shape[axis]
+    c = jnp.cumsum(img, axis=axis)
+    shape1 = [n if a == axis else 1 for a in range(img.ndim)]
+
+    def take(idx):
+        return jnp.take(c, jnp.clip(idx, 0, n - 1), axis=axis)
+
+    ar = jnp.arange(n)
+    hi = take(ar + radius)
+    lo = take(ar - radius - 1)
+    lo = jnp.where(jnp.reshape(ar - radius - 1 < 0, shape1), 0.0, lo)
+    first = jnp.take(img, jnp.asarray([0]), axis=axis)
+    last = jnp.take(img, jnp.asarray([n - 1]), axis=axis)
+    n_lo = jnp.reshape(jnp.maximum(radius - ar, 0), shape1)
+    n_hi = jnp.reshape(jnp.maximum(ar + radius - (n - 1), 0), shape1)
+    total = hi - lo + n_lo * first + n_hi * last
+    return total / (2.0 * radius + 1.0)
+
+
+def _box_radii_dyn(jnp, sigma):
+    """Traced 3-box radii for a gaussian of traced sigma (W3C sizes)."""
+    nf = 3.0
+    w_ideal = jnp.sqrt((12.0 * sigma * sigma / nf) + 1.0)
+    wl = jnp.floor(w_ideal)
+    wl = wl - jnp.where(jnp.mod(wl, 2.0) == 0.0, 1.0, 0.0)
+    wl = jnp.maximum(wl, 1.0)
+    wu = wl + 2.0
+    m = jnp.round((12.0 * sigma * sigma - nf * wl * wl - 4.0 * nf * wl
+                   - 3.0 * nf) / (-4.0 * wl - 4.0))
+    rl = ((wl - 1.0) / 2.0).astype(jnp.int32)
+    ru = ((wu - 1.0) / 2.0).astype(jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    radii = []
+    for i in range(3):
+        r = jnp.where(i < m, rl, ru)
+        radii.append(jnp.where(sigma <= 0.1, zero, r))
+    return radii
+
+
+def gaussian_blur_dyn(jnp, img, sigma):
+    """3-box gaussian with traced sigma (radius 0 passes are identity)."""
+    for r in _box_radii_dyn(jnp, sigma):
+        img = _box_blur_axis_dyn(jnp, img, r, 0)
+        img = _box_blur_axis_dyn(jnp, img, r, 1)
+    return img
+
+
+def offset_image_dyn(jnp, img, dx, dy):
+    """Integer-pixel shift with traced offsets, zero-filled."""
+    h, w = img.shape[0], img.shape[1]
+    out = jnp.roll(jnp.roll(img, dy, axis=0), dx, axis=1)
+    ys = jnp.reshape(jnp.arange(h), (h, 1, 1))
+    xs = jnp.reshape(jnp.arange(w), (1, w, 1))
+    keep_y = (ys >= jnp.maximum(dy, 0)) & (ys < h + jnp.minimum(dy, 0))
+    keep_x = (xs >= jnp.maximum(dx, 0)) & (xs < w + jnp.minimum(dx, 0))
+    return jnp.where(keep_y & keep_x, out, 0.0)
+
+
+def apply_filter_dyn(jnp, lax, img, kind, params):
+    """img (H, W, 4) premultiplied; kind traced i32; params (7,) traced
+    [sigma, dx, dy, r, g, b, a]. One lax.switch — all branches have the
+    same static shape, only data varies."""
+    sigma = params[0]
+    dx = params[1].astype(jnp.int32)
+    dy = params[2].astype(jnp.int32)
+    col = params[3:7]
+
+    def f_none(im):
+        return im
+
+    def f_blur(im):
+        return gaussian_blur_dyn(jnp, im, sigma)
+
+    def f_shadow(im):
+        sh_a = offset_image_dyn(
+            jnp, gaussian_blur_dyn(jnp, im[..., 3:4], sigma), dx, dy)
+        shadow = jnp.concatenate(
+            [col[0] * col[3] * sh_a, col[1] * col[3] * sh_a,
+             col[2] * col[3] * sh_a, col[3] * sh_a], axis=-1)
+        return im + shadow * (1.0 - im[..., 3:4])
+
+    def f_offset(im):
+        return offset_image_dyn(jnp, im, dx, dy)
+
+    def f_flood(im):
+        fill = jnp.stack([col[0] * col[3], col[1] * col[3],
+                          col[2] * col[3], col[3]])
+        return jnp.broadcast_to(fill, im.shape)
+
+    return lax.switch(jnp.clip(kind, 0, 4),
+                      [f_none, f_blur, f_shadow, f_offset, f_flood], img)
+
+
 def apply_filter(xp, img, kind: int, params):
     """img: (H, W, 4) premultiplied. params: (sigma, dx, dy, r, g, b, a)."""
     sigma, dx, dy = params[0], int(params[1]), int(params[2])

@@ -268,9 +268,12 @@ class OracleRenderer:
                 parent = stack[-1][0]
                 c = clip[..., None] if clip is not None else \
                     np.ones((H, W, 1))
-                if mix == int(Mix.LUMINANCE_MASK):
+                if mix in (int(Mix.LUMINANCE_MASK), int(Mix.ALPHA_MASK)):
                     fg = buf * c * alpha
-                    masked = blend_ops.luminance_mask(np, parent, fg)
+                    mfun = blend_ops.luminance_mask \
+                        if mix == int(Mix.LUMINANCE_MASK) \
+                        else blend_ops.alpha_mask
+                    masked = mfun(np, parent, fg)
                     parent[...] = np.where(c > 0.0, masked, parent)
                 else:
                     src = buf * alpha

@@ -232,6 +232,9 @@ class Mix(IntEnum):
     # Layer whose content becomes a luminance mask over the backdrop
     # (reference LUMINANCE_MASK_LAYER, fine.wgsl:1150-1165).
     LUMINANCE_MASK = 127
+    # alpha-mask layer: bg * fg.alpha — the reference's Mask::new_alpha
+    # role (vello_common/src/mask.rs) expressed as a mask layer.
+    ALPHA_MASK = 126
 
 
 class Compose(IntEnum):

@@ -51,6 +51,10 @@ class LayerPlanScanKey:
     n_ops: int        # bucketed op count
     depth: int        # bucketed max stack depth
     n_clip_levels: int
+    has_filter: bool = False  # any layer filter: adds ONE lax.switch over
+                              # the dynamic-parameter filter suite to the
+                              # pop op (params are data, so filtered layer
+                              # structures share this executable too)
 
 
 @dataclass(frozen=True)
@@ -215,6 +219,7 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
     tab = np.zeros((nb, 6), dtype=np.int32)
     tab[n_ops:, 0] = 3
     op_alpha = np.ones(nb, dtype=np.float32)
+    op_filter = np.zeros((nb, 8), dtype=np.float32)
     d_i = p_i = 0
     for i, (kind, mix, compose, lf) in enumerate(ops):
         tab[i, 0] = kind
@@ -227,13 +232,17 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
             tab[i, 5] = clip_ixs[p_i]
             op_alpha[i] = alphas[p_i]
             p_i += 1
+        elif kind == OP_POP and lf is not None:
+            op_filter[i, :len(lf)] = lf
     dynamic["op_tab"] = jnp.asarray(tab)
     dynamic["op_alpha"] = jnp.asarray(op_alpha)
+    dynamic["op_filter"] = jnp.asarray(op_filter)
     db = 2
     while db < static.max_depth:
         db *= 2
-    scan_key = LayerPlanScanKey(n_ops=nb, depth=db, n_clip_levels=k_lv)
     has_filter = any(op[3] is not None for op in ops)
+    scan_key = LayerPlanScanKey(n_ops=nb, depth=db, n_clip_levels=k_lv,
+                                has_filter=has_filter)
     return static, dynamic, scan_key, has_filter
 
 
@@ -308,6 +317,21 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
         mix = op_tab[i, 1]
         compose = op_tab[i, 2]
         top = stack[sp]
+        if key.has_filter:
+            # layer filter with DYNAMIC params (kind+values are op-table
+            # data): tiles -> image -> lax.switch(filter) -> tiles. Filters
+            # are cross-tile, hence the whole-buffer reshape.
+            from ..ops.filters import apply_filter_dyn
+            WT = static.width_tiles
+            ht = n_loc // WT
+            frow = plan_dyn["op_filter"][i]
+            im = top.reshape(ht, WT, 4, TILE_H, TILE_W)
+            im = im.transpose(0, 3, 1, 4, 2).reshape(
+                ht * TILE_H, WT * TILE_W, 4)
+            im = apply_filter_dyn(jnp, jax.lax, im,
+                                  frow[0].astype(jnp.int32), frow[1:])
+            top = im.reshape(ht, TILE_H, WT, TILE_W, 4).transpose(
+                0, 2, 4, 1, 3).reshape(n_loc, 4, npx)
         parent = stack[sp - 1]
         c = clips[sp][:, None, :]
         alpha = calphas[sp]
@@ -318,11 +342,14 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
         lum = ch_last(blend_ops.luminance_mask(
             jnp, ch_last(parent), ch_last(fg)))
         lum = jnp.where(c > 0.0, lum, parent)
+        amask = parent * jnp.clip(fg[:, 3:4, :], 0.0, 1.0)
+        amask = jnp.where(c > 0.0, amask, parent)
         blended = ch_last(blend_ops.blend_mix_compose_dyn(
             ch_last(parent), ch_last(top * alpha),
             jnp.where(mix == 128, 0, mix), compose))
         normal = parent * (1.0 - c) + blended * c
-        res = jnp.where(mix == 127, lum, normal)
+        res = jnp.where(mix == 127, lum,
+                        jnp.where(mix == 126, amask, normal))
         res = jnp.where(mix < 0, parent, res)   # discarded layer
         return stack.at[sp - 1].set(res), clips, calphas, sp - 1
 
@@ -404,9 +431,11 @@ def render_frame_layered(bufs: dict, plan_dyn: dict, static: PipelineStatic,
             ccov, alpha = clips.pop()
             parent = stack[-1]
             c = ccov[:, None, :]
-            if mix == 127:  # LUMINANCE_MASK (fine.wgsl:1150-1165)
+            if mix in (126, 127):  # ALPHA_MASK / LUMINANCE_MASK
                 fg = top * c * alpha
-                masked = blend_ops.luminance_mask(
+                mfun = blend_ops.luminance_mask if mix == 127 \
+                    else blend_ops.alpha_mask
+                masked = mfun(
                     jnp, parent.transpose(0, 2, 1),
                     fg.transpose(0, 2, 1)).transpose(0, 2, 1)
                 stack[-1] = jnp.where(c > 0.0, masked, parent)
@@ -430,10 +459,14 @@ _JIT_CACHE = {}
 def get_layered_pipeline(static: PipelineStatic, plan: LayerPlanStatic,
                          scan_key: "LayerPlanScanKey" = None,
                          has_filter: bool = True):
-    """Filtered plans use the unrolled pipeline (filters are static per
-    op); everything else uses the plan-as-data scan pipeline whose
-    compile key is only the bucketed (n_ops, depth)."""
-    if scan_key is not None and not has_filter:
+    """Everything uses the plan-as-data scan pipeline whose compile key is
+    only the bucketed (n_ops, depth, clip levels, has_filter) — filters are
+    dynamic-parameter ops in the table since round 3, so filtered layer
+    structures no longer force one compile per structure.
+    VELLO_TPU_UNROLLED_LAYERS=1 selects the unrolled fallback."""
+    import os as _os
+    if scan_key is not None \
+            and not _os.environ.get("VELLO_TPU_UNROLLED_LAYERS"):
         key = (static, scan_key)
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = jax.jit(
