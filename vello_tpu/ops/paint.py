@@ -122,24 +122,39 @@ def radial_t(xp, x, y, c0x, c0y, c1x, c1y, r0, r1):
     a = cdx * cdx + cdy * cdy - rd * rd
     b = px * cdx + py * cdy + r0 * rd
     c = px * px + py * py - r0 * r0
-    # Quadratic a t^2 - 2 b t + c = 0 -> t = (b ± sqrt(b² - a c)) / a
+    # Quadratic a t^2 - 2 b t + c = 0 -> t = (b ± sqrt(b² - a c)) / a.
+    # NUMERICALLY STABLE root pair: the naive (b - sq)/a catastrophically
+    # cancels near the tangent-circles degeneracy (|cd| ~ |rd| => a -> 0
+    # with b > 0) — the well-conditioned-by-region evaluation the
+    # reference gets from its focal-form analysis (draw_leaf.wgsl:291-303,
+    # vello_common/src/encode.rs FocalData). Compute Q = b + sign(b)*sq
+    # (|Q| = |b| + sq, no cancellation); the roots are Q/a and c/Q.
     disc = b * b - a * c
     sq = xp.sqrt(xp.maximum(disc, 0.0))
-    eps = 1e-9
-    lin = xp.abs(a) < eps
+    scale = cdx * cdx + cdy * cdy + rd * rd + 1e-30
+    eps = 1e-7
+    lin = xp.abs(a) < eps * scale
     safe_a = xp.where(lin, 1.0, a)
-    t_quad_hi = (b + sq) / safe_a
-    t_quad_lo = (b - sq) / safe_a
+    sgn_b = xp.where(b >= 0.0, 1.0, -1.0)
+    q_ = b + sgn_b * sq
+    q_tiny = xp.abs(q_) < 1e-30
+    safe_q = xp.where(q_tiny, 1.0, q_)
+    t_a = q_ / safe_a
+    t_b = xp.where(q_tiny, t_a, c / safe_q)
+    t_quad_hi = xp.maximum(t_a, t_b)
+    t_quad_lo = xp.minimum(t_a, t_b)
     # Pick the larger t whose radius is >= 0.
     r_hi = r0 + t_quad_hi * rd
     t_quad = xp.where(r_hi >= 0.0, t_quad_hi, t_quad_lo)
     r_q = r0 + t_quad * rd
     valid_quad = (disc >= 0.0) & (r_q >= 0.0)
-    # Linear case (a == 0): 2 b t = c.
-    safe_b = xp.where(xp.abs(b) < eps, 1.0, b)
+    # Linear case (a ~ 0, tangent circles): 2 b t = c — the parabola
+    # formula, exact where the quadratic degenerates.
+    eps_b = 1e-12 * scale
+    safe_b = xp.where(xp.abs(b) < eps_b, 1.0, b)
     t_lin = c / (2.0 * safe_b)
     r_l = r0 + t_lin * rd
-    valid_lin = (xp.abs(b) >= eps) & (r_l >= 0.0)
+    valid_lin = (xp.abs(b) >= eps_b) & (r_l >= 0.0)
     t = xp.where(lin, t_lin, t_quad)
     valid = xp.where(lin, valid_lin, valid_quad)
     return t, valid
