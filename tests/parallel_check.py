@@ -102,41 +102,153 @@ def main():
     except AssertionError:
         pass
     msaa_check()
+    layered_check()
+    pallas_stripe_check()
     print("parallel_check OK")
+
+
+def pallas_stripe_check():
+    """The Pallas fine-composite kernels under framebuffer stripes (gates
+    lifted in round 3): interpret mode runs the REAL kernel code on the
+    CPU mesh — per-stripe los/his walks must match the single-device
+    image."""
+    import os
+    os.environ["VELLO_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        import numpy as np
+
+        from vello_tpu import Affine, Fill, RenderParams
+        from vello_tpu.encoding.resolve import resolve
+        from vello_tpu.kurbo import circle_path, rect_path
+        from vello_tpu.models.renderer import Renderer, pack_buffers
+        from vello_tpu.parallel.mesh import make_mesh, render_batch
+        from vello_tpu.peniko import palette
+        from vello_tpu.pipeline.render import PipelineStatic
+        from vello_tpu.scene import Scene
+
+        size = 128
+        params = RenderParams(size, size, base_color=(0, 0, 0, 1))
+        s = Scene()
+        s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
+               circle_path(64, 50, 40))
+        s.fill(Fill.NON_ZERO, Affine.identity(),
+               palette.BLUE.with_alpha(0.6), None,
+               rect_path(20, 60, 110, 120))
+        rs = resolve(s.encoding, params)
+        caps = rs.capacities(params)
+        static = PipelineStatic(caps_key=caps.key(), width=size,
+                                height=size, kinds_present=(0,))
+        b = pack_buffers(rs, caps, params)
+        import jax
+        imgs, ovf = render_batch([b], static,
+                                 make_mesh(1, 4, jax.devices()[:4]))
+        assert ovf.sum() == 0
+        ref = Renderer().render_resolved(rs, params)
+        d = np.abs(imgs[0, :size, :size] - ref)
+        assert d.max() < 1e-4, f"pallas stripe composite max {d.max()}"
+        print("pallas_stripe_check OK")
+    finally:
+        del os.environ["VELLO_TPU_PALLAS_INTERPRET"]
 
 
 
 
 def msaa_check():
-    """msaa16 under the dp x sp mesh (geometry replicated, fine striped)."""
+    """msaa16 under the dp x sp mesh with SHARDED geometry (path-aligned
+    tag slices; per-fragment post-fill-rule coverage psum) — the round-2
+    gap where msaa fell back to replicated geometry. The HLO probe asserts
+    the per-shard line shapes genuinely shrink 1/n."""
     import numpy as np
 
+    import jax
+    import jax.numpy as jnp
     from vello_tpu import Affine, Fill, RenderParams
     from vello_tpu.encoding.resolve import resolve
-    from vello_tpu.kurbo import circle_path
     from vello_tpu.models.renderer import Renderer, pack_buffers
-    from vello_tpu.parallel.mesh import make_mesh, render_batch
-    from vello_tpu.peniko import palette
+    from vello_tpu.parallel.mesh import (build_sharded_renderer, make_mesh,
+                                         render_batch)
     from vello_tpu.pipeline.render import PipelineStatic
-    from vello_tpu.scene import Scene
+    from vello_tpu.scenes.test_scenes import filled_mmark
 
     size = 128
     params = RenderParams(size, size, antialiasing="msaa16")
-    s = Scene()
-    s.fill(Fill.NON_ZERO, Affine.identity(), palette.RED, None,
-           circle_path(64, 64, 40))
-    rs = resolve(s.encoding, params)
+    scene = filled_mmark(1, 128.0)           # 1000 paths: sharding splits
+    rs = resolve(scene.encoding, params)
     caps = rs.capacities(params)
+    n_sp = 4
+    nl_local = max(caps.n_lines // n_sp, 1024)
+    assert nl_local != caps.n_lines, "probe scene too small"
     static = PipelineStatic(caps_key=caps.key(), width=size, height=size,
                             kinds_present=(0,), aa="msaa16",
                             has_evenodd=False)
     b = pack_buffers(rs, caps, params)
-    imgs, ovf = render_batch([b] * 2, static, make_mesh(1, 4))
-    assert ovf.sum() == 0
+    mesh = make_mesh(1, n_sp)
+    fn = build_sharded_renderer(static, mesh)
+    bufs_b = {k: jnp.stack([jnp.asarray(v)]) for k, v in b.items()}
+    hlo = fn.lower(bufs_b).as_text()
+    assert f"{nl_local}x4xf32" in hlo, \
+        "per-shard line shape missing - msaa geometry not sharded"
+    assert f"{caps.n_lines}x4xf32" not in hlo, \
+        "full-capacity line arrays per shard - msaa geometry replicated"
+    imgs, ovf = render_batch([b], static, mesh)
+    assert ovf.sum() == 0, f"overflow {ovf}"
     ref = Renderer().render_resolved(rs, params)
     d = np.abs(imgs[0, :size, :size] - ref)
-    assert d.max() < 1e-4, f"msaa sharded max {d.max()}"
-    print("msaa_check OK")
+    assert d.max() < 1e-3, f"msaa sharded max {d.max()}"
+    print("msaa_check OK (sharded geometry, per-shard lines "
+          f"{nl_local}/{caps.n_lines})")
+
+
+def layered_check():
+    """Layered (clip + blend + FILTER) scene under the sp mesh: the
+    plan-as-data compositor runs per stripe over sharded geometry."""
+    import numpy as np
+
+    from vello_tpu import Affine, Fill, RenderParams
+    from vello_tpu.encoding.resolve import resolve
+    from vello_tpu.kurbo import circle_path, rect_path
+    from vello_tpu.models.renderer import Renderer, pack_buffers
+    from vello_tpu.parallel.mesh import build_sharded_renderer, make_mesh
+    from vello_tpu.peniko import BlendMode, Compose, Mix, palette
+    from vello_tpu.pipeline.layered import build_layer_plan
+    from vello_tpu.pipeline.render import PipelineStatic
+    from vello_tpu.scene import Scene
+    import jax.numpy as jnp
+
+    size = 128
+    params = RenderParams(size, size, base_color=(0.1, 0.1, 0.1, 1))
+    s = Scene()
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.NAVY, None,
+           rect_path(0, 0, 128, 128))
+    s.push_layer(BlendMode(Mix.MULTIPLY, Compose.SRC_OVER), 0.9,
+                 Affine.identity(), circle_path(64, 64, 50))
+    s.fill(Fill.NON_ZERO, Affine.identity(), palette.YELLOW, None,
+           rect_path(30, 30, 100, 100))
+    s.pop_layer()
+    s.push_blur_layer(2.0)
+    s.fill(Fill.NON_ZERO, Affine.identity(),
+           palette.LIME.with_alpha(0.8), None, circle_path(90, 40, 18))
+    s.pop_layer()
+    rs = resolve(s.encoding, params)
+    caps = rs.capacities(params)
+    static = PipelineStatic(
+        caps_key=caps.key(), width=size, height=size,
+        kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))))
+    plan, plan_dyn, scan_key, _ = build_layer_plan(rs)
+    b = pack_buffers(rs, caps, params)
+    mesh = make_mesh(1, 4)
+    fn = build_sharded_renderer(static, mesh, scan_key=scan_key)
+    bufs_b = {k: jnp.stack([jnp.asarray(v)]) for k, v in b.items()}
+    imgs, ovf = fn(bufs_b, plan_dyn)
+    import jax
+    imgs = np.asarray(jax.device_get(imgs))
+    assert int(np.asarray(jax.device_get(ovf)).sum()) == 0
+    ref = Renderer().render_resolved(rs, params)
+    d = np.abs(imgs[0, :size, :size] - ref)
+    # stripe-local blur differs at stripe seams (cross-tile filter);
+    # interior must match tightly
+    assert d.mean() < 2e-3, f"layered sharded mean {d.mean()}"
+    print("layered_check OK")
 
 
 if __name__ == "__main__":

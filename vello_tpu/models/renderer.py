@@ -58,6 +58,20 @@ def _pad(a: np.ndarray, n: int, fill=0):
     return np.pad(a, pad_width, constant_values=fill)
 
 
+def _path_tag_bounds(tags: np.ndarray, n_paths_cap: int,
+                     n_tags_cap: int) -> np.ndarray:
+    """(P+1,) i32 ascending slice boundaries: position just after each
+    path's TAG_PATH marker (a slice starting at a boundary keeps whole
+    paths together; transform/style binding is resolved by the global tag
+    scan before slicing, so boundaries are otherwise unconstrained)."""
+    ends = np.nonzero((tags.astype(np.int64) & 0x10) != 0)[0] + 1
+    bounds = np.concatenate([[0], ends]).astype(np.int32)
+    out = np.full(n_paths_cap + 1, min(len(tags), n_tags_cap), np.int32)
+    out[:min(len(bounds), n_paths_cap + 1)] = \
+        bounds[:n_paths_cap + 1]
+    return out
+
+
 def pack_buffers(rs: ResolvedScene, caps: Capacities,
                  params: RenderParams, slim: bool = False,
                  paint8: bool = False) -> dict:
@@ -100,6 +114,11 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         # ceil(real/shards) so per-shard load tracks content, not padding
         "n_tags_real": np.asarray(min(len(rs.tags), caps.n_tags),
                                   dtype=np.int32),
+        # tag-slot boundaries after each path marker: geometry shards snap
+        # their slices here so every path's lines live on ONE shard (the
+        # msaa sharding invariant; harmless for area)
+        "path_tag_bounds": _path_tag_bounds(rs.tags, caps.n_paths,
+                                            caps.n_tags),
         "ramps": rs.ramps,
         "atlas": rs.atlas,
         "base_color": np.asarray(params.base_color, dtype=np.float32),

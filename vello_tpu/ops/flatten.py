@@ -93,14 +93,16 @@ def expand_by_counts(counts, out_size):
 
 def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
                   n_lines_cap: int, width: float, height: float, rpack,
-                  interpret: bool = False):
+                  interpret: bool = None):
     """Fused Pallas flatten over host-compacted segment arrays.
 
     Transform + Wang counts run at segment scale in XLA; the kernel does the
     expansion, cubic eval, viewport trim/clamp, edge-vertical detection and
     DDA touch counts in VMEM (see pallas_kernels._flatten_kernel). Returns
     {"linepack" (16, L), "total_lines", "overflow"}."""
-    from .pallas_kernels import BLK_F, WIN_F, flatten_pallas
+    from .pallas_kernels import (BLK_F, WIN_F, flatten_pallas,
+                                 interpret_default)
+    interpret = interpret_default() if interpret is None else interpret
 
     t = seg_tmat
     x = (seg_pts[..., 0] * t[:, None, 0] + seg_pts[..., 1] * t[:, None, 2]

@@ -81,8 +81,9 @@ def _cov_kernel(seg_ref, yedge_ref, out_ref, carry_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def coverage_cumsum_pallas(seg, y_edge, interpret=False):
+def coverage_cumsum_pallas(seg, y_edge, interpret=None):
     """seg (T,4) f32, y_edge (T,) -> inclusive cumsum of coverage (T, NPX)."""
+    interpret = interpret_default() if interpret is None else interpret
     t = seg.shape[0]
     assert t % BLK == 0, t
     grid = (t // BLK,)
@@ -247,13 +248,14 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
 
 
 def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
-                         interpret=False):
+                         interpret=None):
     """trow (T, 8) f32 fragment-sorted touch rows [x0,y0,x1,y1,y_edge,_,
     rank,is_last]; bdr (Fpad, 128) f32 rank-ordered [backdrop, rule]
     (rank = dense fragment rank, trow col 6). Returns (T, 256) f32
     with each fragment's resolved MSAA coverage at its last touch row
     (zeros elsewhere). ``has_evenodd=False`` specializes out the even-odd
     fill-rule path (static, saves a wide round/abs/select per step)."""
+    interpret = interpret_default() if interpret is None else interpret
     import numpy as _np
 
     from .fine_xla import sample_offsets
@@ -311,9 +313,18 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
     )(w0s, trow, sxy, bdr)
 
 
+def interpret_default() -> bool:
+    """VELLO_TPU_PALLAS_INTERPRET=1: run every Pallas kernel in interpret
+    mode — lets the CPU-mesh tests exercise the REAL kernel code paths
+    (incl. the sharded stripe composite) without a TPU attached."""
+    return bool(os.environ.get("VELLO_TPU_PALLAS_INTERPRET"))
+
+
 def use_pallas() -> bool:
     if os.environ.get("VELLO_TPU_NO_PALLAS"):
         return False
+    if interpret_default():
+        return True
     return jax.default_backend() == "tpu"
 
 
@@ -338,9 +349,10 @@ def _cumsum_kernel(x_ref, out_ref, carry_ref, *, blk, cols):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def cumsum_pallas(x, interpret=False):
+def cumsum_pallas(x, interpret=None):
     """Streaming inclusive cumsum over axis 0 of (T, C) f32 — one pass over
     HBM instead of XLA's multi-pass scan materialization."""
+    interpret = interpret_default() if interpret is None else interpret
     t, c = x.shape
     # VMEM budget: in+out blocks are double-buffered (~4 copies live);
     # keep one block under ~2.5 MB.
@@ -506,11 +518,13 @@ def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
     out_ref[...] = out
 
 
-def flatten_pallas(spackT, s0s, n_lines_cap, width, height, interpret=False):
+def flatten_pallas(spackT, s0s, n_lines_cap, width, height,
+                   interpret=None):
     """spackT (24, Spad) f32 segment fields [8 cubic coords, n, offs, incl,
     rect6, pad]; s0s (G+1,) i32 aligned window starts + total. Returns the
     (16, L) line pack [qx0,qy0,qx1,qy1,down,tcount,live,needs_edge,ev_y0,
     ev_y1,rect6]."""
+    interpret = interpret_default() if interpret is None else interpret
     assert n_lines_cap % BLK_F == 0, n_lines_cap
     g = n_lines_cap // BLK_F
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -704,10 +718,11 @@ def _expand_touch_kernel(s0_ref,        # prefetch (G+1,) i32: 128-aligned
     pay_ref[...] = pay
 
 
-def expand_touches_pallas(lpack, s0s, n_touch_cap, interpret=False):
+def expand_touches_pallas(lpack, s0s, n_touch_cap, interpret=None):
     """lpack (16, Lpad) f32 per-line fields (see tiling.make_touches),
     s0s (G+1,) i32 128-aligned window starts + total. Returns (ftile (T,)
     i32, payload (8, T) f32 rows [s0x,s0y,s1x,s1y,y_edge,backdrop,_,_])."""
+    interpret = interpret_default() if interpret is None else interpret
     assert n_touch_cap % BLK_X == 0, n_touch_cap
     g = n_touch_cap // BLK_X
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -811,7 +826,7 @@ def _fine_kernel(lo_ref,              # scalar prefetch: (Gpad,) i32 per-tile
 
 
 def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
-                         interpret=False):
+                         interpret=None):
     """src_sorted (F, 4, 256) premultiplied paint*coverage rows in
     (gtile, order) order; starts (G+1,) i32 per-gtile fragment ranges.
     Sequentially composites dst = src + dst*(1-a) per tile in VMEM —
@@ -821,6 +836,7 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
     ``starts`` may be (G+1,) contiguous ranges, or a (los, his) pair
     where per-tile walk starts were advanced past occluded fragments
     (the DepthBuffer role of vello_cpu/src/coarse/depth.rs)."""
+    interpret = interpret_default() if interpret is None else interpret
     if src_sorted.shape[0] % FINE_CHUNK != 0:
         # Chunk windows must stay in bounds (dynamic slices clamp their
         # start, silently shifting the last tiles' fragment windows).
@@ -948,11 +964,12 @@ def _fine_cov_kernel(lo_ref,           # scalar prefetch: (Gpad,) i32
 
 
 def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
-                             n_gtiles, interpret=False):
+                             n_gtiles, interpret=None):
     """Solid-paint composite from (F, 256) coverage + (F, 4) premultiplied
     colors: the (F, 4, 256) src tensor (805 MB at the bench tier) never
     exists — rows are formed in VMEM. Same ordered src-over walk as
     fine_composite_solid."""
+    interpret = interpret_default() if interpret is None else interpret
     if cov_sorted.shape[0] % FINE_CHUNK != 0:
         pad = FINE_CHUNK - cov_sorted.shape[0] % FINE_CHUNK
         cov_sorted = jnp.concatenate(

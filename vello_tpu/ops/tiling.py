@@ -195,9 +195,11 @@ def make_touches(lines, line_path, rects, n_touch_cap, line_rect=None,
     from .pallas_kernels import BLK_X, use_pallas
     fused_ok = line_real is not None and n_touch_cap % BLK_X == 0
     if fused_ok and (use_pallas() if force_fused is None else force_fused):
+        from .pallas_kernels import interpret_default
         return _make_touches_fused(p, live, line_real, counts, rrow,
                                    n_touch_cap,
-                                   interpret=not use_pallas())
+                                   interpret=(interpret_default()
+                                              or not use_pallas()))
     offs = (jnp.cumsum(counts) - counts).astype(jnp.float32)
 
     qx0l, qy0l, qx1l, qy1l = p["q"]
@@ -367,7 +369,7 @@ def _make_touches_fused(p, live, line_real, counts, rrow, n_touch_cap,
 
 
 def make_touches_from_linepack(linepack, total_lines, n_touch_cap,
-                               n_edge_cap, interpret=False, has_edge=True):
+                               n_edge_cap, interpret=None, has_edge=True):
     """Touch expansion from the fused flatten's (16, L) line pack.
 
     Edge verticals (left-viewport-boundary winding carriers) expand in XLA
@@ -379,7 +381,9 @@ def make_touches_from_linepack(linepack, total_lines, n_touch_cap,
     cross x=0); a device flag (overflow bit 32) catches a wrong host
     prediction and triggers a retry with the edge path enabled."""
     from .flatten import _EDGE_EPS, expand_by_counts
-    from .pallas_kernels import WIN_X, BLK_X, expand_touches_pallas
+    from .pallas_kernels import (WIN_X, BLK_X, expand_touches_pallas,
+                                 interpret_default)
+    interpret = interpret_default() if interpret is None else interpret
 
     lnum = linepack.shape[1]
     if not has_edge:

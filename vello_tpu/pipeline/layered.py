@@ -272,12 +272,14 @@ def _apply_clip_chains(fr, plan_dyn, n_levels: int) -> None:
 
 def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
                               static: PipelineStatic,
-                              key: LayerPlanScanKey, stripe=None):
+                              key: LayerPlanScanKey, stripe=None,
+                              geom_axis=None, geom_shards: int = 1):
     """Plan-as-data layered compositor: ops are DATA driving a
     lax.fori_loop over a fixed-depth buffer stack — one executable per
     (bucketed op count, bucketed depth), however the layer structure
     changes frame to frame. Filters force the unrolled path instead."""
-    fr = prepare_fragments(bufs, static, stripe, keep_clip_paths=True)
+    fr = prepare_fragments(bufs, static, stripe, keep_clip_paths=True,
+                           geom_axis=geom_axis, geom_shards=geom_shards)
     if key.n_clip_levels:
         _apply_clip_chains(fr, plan_dyn, key.n_clip_levels)
     n_loc = fr["n_loc"]

@@ -141,12 +141,13 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     scales with the axis instead of being replicated.
     """
     caps = Capacities(*static.caps_key)
-    if geom_axis is not None and static.aa in ("msaa8", "msaa16"):
-        # msaa geometry sharding would need a psum of the (F, ns*256)
-        # per-sample tensor; replicate the geometry instead — the fine /
-        # composite stages still shard by framebuffer stripe.
-        geom_axis = None
-        geom_shards = 1
+    # msaa + geometry sharding: the per-SAMPLE tensor is never exchanged.
+    # Tag slices snap to PATH boundaries, so every fragment's touches (and
+    # its backdrop deltas) live on exactly ONE shard — the non-owning
+    # shards resolve that fragment's msaa coverage to 0 (no touches, zero
+    # backdrop), and one (n_live, 256) psum of the POST-fill-rule coverage
+    # combines the shards exactly (owning-shard-complete sums, not
+    # partial-winding sums).
     H = float(static.height)
     WT, HT = static.width_tiles, static.height_tiles
     # One extra tile column so the x-clamp boundary (which deforms crossing
@@ -194,20 +195,43 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # per-chip geometry work actually scales 1/n (a shard holding
             # more than its slice's share trips the overflow retry).
             k = jax.lax.axis_index(geom_axis)
-            chunk = caps.n_tags // geom_shards
             # Real content concentrates in the first (unpadded) tag slots;
-            # static even slicing would overload shard 0. Slice at dynamic
-            # starts of ceil(real/shards) and mask slots outside the share
-            # (kind=0 slots produce no lines).
+            # static even slicing would overload shard 0. Shards take
+            # ceil(real/shards)-sized spans.
             n_real = bufs.get("n_tags_real",
                               jnp.int32(caps.n_tags)).astype(jnp.int32)
             share = (n_real + geom_shards - 1) // geom_shards
-            start = jnp.minimum(k * share, jnp.int32(caps.n_tags - chunk))
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, 0)
-            decoded = {key: sl(v) for key, v in decoded.items()}
-            gidx = start + jnp.arange(chunk, dtype=jnp.int32)
-            active = (gidx >= k * share) & (gidx < (k + 1) * share)
-            decoded["kind"] = jnp.where(active, decoded["kind"], 0)
+            msaa_mode = static.aa in ("msaa8", "msaa16")
+            if msaa_mode:
+                # msaa needs PATH-ALIGNED ownership (each fragment's
+                # touches + backdrop on exactly one shard): snap the span
+                # bounds UP to path boundaries and mask on the FULL tag
+                # window — tag/segment-scale ops are cheap and stay
+                # replicated, while the expensive line/touch stages below
+                # still run at 1/n capacity. (A windowed slice would cut
+                # paths larger than the window.)
+                lo_i = k * share
+                hi_i = jnp.minimum((k + 1) * share, n_real)
+                ptb = bufs.get("path_tag_bounds")
+                if ptb is not None:
+                    pmax = ptb.shape[0] - 1
+                    lo_i = ptb[jnp.minimum(
+                        jnp.searchsorted(ptb, lo_i, side="left"), pmax)]
+                    hi_i = ptb[jnp.minimum(
+                        jnp.searchsorted(ptb, hi_i, side="left"), pmax)]
+                gidx = jnp.arange(caps.n_tags, dtype=jnp.int32)
+                active = (gidx >= lo_i) & (gidx < hi_i)
+                decoded["kind"] = jnp.where(active, decoded["kind"], 0)
+            else:
+                chunk = caps.n_tags // geom_shards
+                start = jnp.minimum(k * share,
+                                    jnp.int32(caps.n_tags - chunk))
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start,
+                                                            chunk, 0)
+                decoded = {key: sl(v) for key, v in decoded.items()}
+                gidx = start + jnp.arange(chunk, dtype=jnp.int32)
+                active = (gidx >= k * share) & (gidx < (k + 1) * share)
+                decoded["kind"] = jnp.where(active, decoded["kind"], 0)
             nl_local = max(caps.n_lines // geom_shards, 1024)
             nt_local = max(caps.n_touches // geom_shards, 1024)
             ne_local = max(caps.n_edges // geom_shards, 256)
@@ -257,8 +281,12 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     with jax.named_scope("s05_segment_starts"):
         starts = segment_starts(seg_ids, caps.n_path_tiles)
     bd_sum = segment_sum_from_starts(bdval_s, starts)
-    if geom_axis is not None:
-        # Backdrop deltas are additive across segment shards.
+    if geom_axis is not None and static.aa not in ("msaa8", "msaa16"):
+        # Backdrop deltas are additive across segment shards (area path).
+        # msaa must NOT psum here: its cross-shard combination sums the
+        # POST-fill-rule coverage, which is only exact when non-owning
+        # shards see zero backdrop (fill(0) = 0) — path-aligned slicing
+        # keeps each path's deltas complete on its owning shard.
         bd_sum = jax.lax.psum(bd_sum, axis_name=geom_axis)
     bd_delta = jnp.concatenate([jnp.zeros(1, jnp.float32), bd_sum[:-1]])
 
@@ -308,6 +336,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         else:
             coverage = fine_xla.msaa_coverage_xla(seg_s, yedge_s, starts,
                                                   bdf, rule, ns)
+            if geom_axis is not None:
+                # path-aligned slicing: per-fragment coverage is complete
+                # on the owning shard and exactly 0 elsewhere (no touches,
+                # zero backdrop), so a post-fill-rule sum is exact
+                coverage = jax.lax.psum(coverage, axis_name=geom_axis)
     else:
         if use_pallas():
             # Fused Pallas kernel: winding coverage + running cumsum in
@@ -355,6 +388,12 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # dropping the (F, 256) materialization saves a row gather.
             _, pack_m = msaa_parts
             live = (pack_m[:, 1] > 0.0) | (pack_m[:, 2] > (1.0 / 512.0))
+            if geom_axis is not None:
+                # the live mask keys the fragment sort, which must be
+                # IDENTICAL on every shard for the coverage psum to align:
+                # a fragment is live if live on ANY shard (its owner)
+                live = jax.lax.psum(live.astype(jnp.int32),
+                                    axis_name=geom_axis) > 0
         else:
             live = jnp.max(coverage, axis=1) > (1.0 / 512.0)
         owned = owned & live
@@ -373,6 +412,10 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     with jax.named_scope("s08_coverage_assembly"):
         if coverage is None:
             coverage_s = _msaa_coverage_at(msaa_parts, fidx_s)
+            if geom_axis is not None:
+                # owning-shard-complete msaa coverage: one post-assembly
+                # all-reduce at n_live rows combines the shards exactly
+                coverage_s = jax.lax.psum(coverage_s, axis_name=geom_axis)
         else:
             coverage_s = coverage[fidx_s]  # 1 KB rows, 4x cheaper than src
     overflow = geom_overflow + 4 * touches["overflow"] \
@@ -392,8 +435,9 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         coverage_s = coverage_s.astype(jnp.bfloat16)
     if want_src:
         solid_only = not any(k in static.kinds_present for k in (1, 2, 3))
-        if solid_only and not keep_clip_paths and use_pallas() \
-                and stripe is None:
+        if solid_only and not keep_clip_paths and use_pallas():
+            # (also under stripes since round 3: g_s is stripe-local, so
+            # the Pallas composite walks local tiles directly)
             # Solid fast path: the composite kernel forms color x coverage
             # rows in VMEM — no (F, 4, NPX) src tensor (805 MB at the
             # bench tier) is ever materialized.
@@ -478,7 +522,7 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
     base_premul = jnp.concatenate([base[:3] * base[3], base[3:4]])
     fr = prepare_fragments(bufs, static, stripe, geom_axis=geom_axis,
                            geom_shards=geom_shards)
-    if use_pallas() and stripe is None:
+    if use_pallas():
         # Fused Pallas fine: per-tile sequential src-over in VMEM replaces
         # the XLA suffix-sum/exp/segmented-sum composite passes.
         starts_g = segmented.searchsorted_dense(
@@ -510,11 +554,76 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
     return img, fr["overflow"]
 
 
+def composite_frame(fr: dict, base_color, *, width: int, height: int,
+                    lowp: bool):
+    """Part B of the SPLIT pipeline: occlusion + fine composite + image
+    assembly, from prepare_fragments' outputs. Compiled separately from the
+    geometry program: XLA's optimization time explodes superlinearly in
+    program size (measured: geometry alone 30 s + composite alone 4 s vs
+    205 s combined at the mmark tier), and this half's compile key is only
+    (fragment shapes, viewport, lowp) — shared across capacity variants."""
+    from ..ops.pallas_kernels import (fine_composite_solid,
+                                      fine_composite_solid_cov, use_pallas)
+    WT = (width + TILE_W - 1) // TILE_W
+    HT = (height + TILE_H - 1) // TILE_H
+    n_loc = WT * HT
+    base_premul = jnp.concatenate([base_color[:3] * base_color[3],
+                                   base_color[3:4]])
+    if use_pallas():
+        starts_g = segmented.searchsorted_dense(
+            fr["g_s"], n_loc + 1, side="left")
+        with jax.named_scope("s09b_occlusion"):
+            if "col_s" in fr:
+                opaque = fr["col_s"][:, 3] >= 1.0 - 1e-6
+            else:
+                opaque = fr["opaque_s"]
+            los, hi0 = occlusion_los(fr["g_s"], fr["coverage_s"], opaque,
+                                     n_loc, starts_g)
+        with jax.named_scope("s10_composite"):
+            if "col_s" in fr:
+                tiles = fine_composite_solid_cov(
+                    fr["coverage_s"], fr["col_s"], base_premul, (los, hi0),
+                    n_loc)
+            else:
+                tiles = fine_composite_solid(fr["src_s"], base_premul,
+                                             (los, hi0), n_loc)
+    else:
+        with jax.named_scope("s10_composite"):
+            tiles = fine_xla.composite_srcover(fr["src_s"], fr["alpha_s"],
+                                               fr["g_s"], n_loc,
+                                               base_premul)
+    dummy = PipelineStatic(caps_key=(), width=width, height=height,
+                           kinds_present=(), lowp=lowp)
+    img = _tiles_to_image(tiles, dummy, HT, True)
+    return img, fr["overflow"]
+
+
 _JIT_CACHE = {}
+_JIT_B_CACHE = {}
+_SPLIT_META = ("n_loc", "ht_local", "WT")
 
 
 def get_pipeline(static: PipelineStatic):
+    """Two-stage split pipeline for the single-device flat path: geometry
+    (prepare_fragments) and composite compile as SEPARATE XLA programs.
+    The combined program's optimization time is superlinear in size
+    (205 s vs 30+4 s split at the mmark msaa16 tier), and the composite
+    half is reused across capacity tiers."""
     key = static
-    if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(partial(render_frame, static=static))
-    return _JIT_CACHE[key]
+    if key in _JIT_CACHE:
+        return _JIT_CACHE[key]
+    fa = jax.jit(partial(prepare_fragments, static=static))
+    bkey = (static.width, static.height, static.lowp)
+    if bkey not in _JIT_B_CACHE:
+        _JIT_B_CACHE[bkey] = jax.jit(partial(
+            composite_frame, width=static.width, height=static.height,
+            lowp=static.lowp))
+    fb = _JIT_B_CACHE[bkey]
+
+    def run(bufs):
+        fr = fa(bufs)
+        fr = {k: v for k, v in fr.items() if k not in _SPLIT_META}
+        return fb(fr, bufs["base_color"])
+
+    _JIT_CACHE[key] = run
+    return run
