@@ -54,11 +54,70 @@ def test_atlas_generation_eviction_bounded():
 def test_atlas_overflow_raises():
     a = ImageAtlas(width=128)
     a.MAX_HEIGHT = 128
+    a.MAX_WIDTH = 128   # pin the growth bound so overflow is reachable
     a.begin_generation()
     a.add(_img(0, 128, 64))
     a.add(_img(1, 128, 64))
     with pytest.raises(RuntimeError):
         a.add(_img(2, 128, 64))   # live set exceeds the extent
+
+
+def test_atlas_width_growth_position_stable():
+    """An image wider than the page grows the page (image_cache.rs
+    growth role); existing entries keep their coordinates."""
+    a = ImageAtlas(width=128)
+    a.begin_generation()
+    p0 = a.add(_img(0, 64, 64))
+    arr0 = a.array()
+    p1 = a.add(_img(1, 512, 32))   # wider than the 128 page
+    assert a.width >= 512
+    assert a.add(_img(0, 64, 64)) == p0, "existing entry moved on growth"
+    arr1 = a.array()
+    assert arr1.shape[1] >= 512
+    # old entry's pixels unchanged at its stable position
+    x, y = p0[0], p0[1]
+    np.testing.assert_array_equal(arr1[y:y + 64, x:x + 64],
+                                  arr0[y:y + 64, x:x + 64])
+    assert a.rebuilds == 1, "growth must not force a full re-blit"
+    assert p1[2] == 512
+
+
+def test_atlas_incremental_array_no_rebuilds():
+    """Steady-state animation: unchanged resolves return the cached page
+    (no per-frame premultiply/blit); incremental adds blit only the new
+    entry; only eviction forces a full rebuild."""
+    a = ImageAtlas(width=128)
+    a.begin_generation()
+    a.add(_img(0, 64, 64))
+    first = a.array()
+    assert a.rebuilds == 1
+    # no change -> identical cached object, zero work
+    assert a.array() is first
+    a.begin_generation()
+    a.add(_img(0, 64, 64))        # same content: still cached
+    assert a.array() is first
+    # incremental add: new array (copy-on-write), no full rebuild
+    a.add(_img(1, 64, 64))
+    second = a.array()
+    assert second is not first and a.rebuilds == 1
+    # the earlier returned page was not mutated in place
+    assert first[:64, :64].any() and first[64:, :].sum() == 0
+
+
+def test_wide_image_renders():
+    """A 2048-px-wide image (wider than the initial 1024 page) resolves
+    and renders; reference accepts up to 8192x8192 (image_cache.rs)."""
+    from vello_tpu import Scene, Affine, RenderParams
+    from vello_tpu.oracle import OracleRenderer
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 255, size=(8, 2048, 4), dtype=np.uint8)
+    data[..., 3] = 255
+    img = Image(data)
+    s = Scene()
+    s.draw_image(img, Affine.scale(1 / 16.0))   # fit 2048 -> 128
+    params = RenderParams(128, 16)
+    out = np.asarray(OracleRenderer().render(s, params))
+    assert out[:, :, :3].std() > 0.01, "wide image did not render"
 
 
 def test_resolver_image_cycling_stable_output():

@@ -128,16 +128,29 @@ class RampCache:
 
 class ImageAtlas:
     """Shelf-packed RGBA atlas with content-hash keys, generation-based
-    eviction, and a bounded extent (reference ``image_cache.rs:9-11,
-    113-182``: 1024 initial, 8192 max, eviction after 2 unused
-    generations; ``multi_atlas.rs`` page model collapses to vertical
-    shelf pages under one height cap here — TPU has no texture-size
-    limit, only a memory budget).
+    eviction, and a growable bounded extent (reference ``image_cache.rs:
+    9-11,113-182``: 1024 initial, growth to 8192 max, eviction after 2
+    unused generations; ``multi_atlas.rs`` page model collapses to
+    vertical shelf pages under one height cap here — TPU has no
+    texture-size limit, only a memory budget).
+
+    Width grows by doubling (1024 → ... → ``MAX_WIDTH``) when an image
+    wider than the current page arrives or when the live set overflows
+    after eviction. Width growth is **position-stable**: existing
+    shelves keep their (x, y), so already-resolved image records stay
+    valid — only eviction/repack relocates entries.
+
+    ``array()`` is incremental: the packed page is cached; only entries
+    added since the last call are premultiplied + blitted (copy-on-write
+    so previously returned arrays are never mutated), and a no-change
+    resolve returns the cached array untouched. Full re-blits happen
+    only after eviction/repack (counted in ``rebuilds``).
 
     Keys are content hashes (an ``id()`` key can alias after GC); an
     id-keyed weakref memo makes repeat adds of a live array O(1)."""
 
     MAX_HEIGHT = 8192
+    MAX_WIDTH = 8192
 
     def __init__(self, width: int = 1024):
         self.width = width
@@ -148,6 +161,10 @@ class ImageAtlas:
         self.entries: Dict[tuple, list] = {}
         self._id_memo: Dict[int, tuple] = {}
         self.evictions = 0
+        self.rebuilds = 0            # full re-blit count
+        self._packed = None          # cached padded (H, W, 4) f32 page
+        self._dirty: List[tuple] = []  # keys blitted since last array()
+        self._needs_rebuild = True
 
     def begin_generation(self) -> None:
         """Advance the frame generation (Resolver calls this per resolve);
@@ -183,7 +200,8 @@ class ImageAtlas:
 
     def _evict_and_repack(self) -> None:
         """Drop entries unused for >= 2 generations, repack survivors
-        (tallest-first keeps shelves tight)."""
+        (tallest-first keeps shelves tight). Relocates entries, so the
+        cached packed page needs a full re-blit."""
         live = [(k, e) for k, e in self.entries.items()
                 if e[4] >= self.generation - 1]
         self.shelves = []
@@ -191,6 +209,8 @@ class ImageAtlas:
         self.entries = {}
         self._id_memo = {}
         self.evictions += 1
+        self._needs_rebuild = True
+        self._dirty = []
         from ..utils.log import get_logger
         get_logger().info("atlas eviction #%d: %d live images repacked",
                           self.evictions, len(live))
@@ -198,6 +218,9 @@ class ImageAtlas:
             img = e[5]
             h, w = img.data.shape[:2]
             pos = self._alloc(w, h)
+            while pos is None and self.width < self.MAX_WIDTH:
+                self.width = min(self.width * 2, self.MAX_WIDTH)
+                pos = self._alloc(w, h)
             if pos is None:
                 raise RuntimeError(
                     f"image atlas overflow: live images exceed "
@@ -211,18 +234,25 @@ class ImageAtlas:
             e[4] = self.generation
             return tuple(e[:4])
         h, w = img.data.shape[:2]
-        if w > self.width or h > self.MAX_HEIGHT:
+        if w > self.MAX_WIDTH or h > self.MAX_HEIGHT:
             raise ValueError(f"image {w}x{h} exceeds atlas extent "
-                             f"{self.width}x{self.MAX_HEIGHT}")
+                             f"{self.MAX_WIDTH}x{self.MAX_HEIGHT}")
+        while w > self.width:
+            # grow the page for a wide image: shelves keep their (x, y)
+            self.width = min(self.width * 2, self.MAX_WIDTH)
         pos = self._alloc(w, h)
         if pos is None:
             self._evict_and_repack()
             pos = self._alloc(w, h)
-            if pos is None:
-                raise RuntimeError(
-                    f"image atlas overflow: live images exceed "
-                    f"{self.width}x{self.MAX_HEIGHT}")
+        while pos is None and self.width < self.MAX_WIDTH:
+            self.width = min(self.width * 2, self.MAX_WIDTH)
+            pos = self._alloc(w, h)
+        if pos is None:
+            raise RuntimeError(
+                f"image atlas overflow: live images exceed "
+                f"{self.width}x{self.MAX_HEIGHT}")
         self.entries[key] = [pos[0], pos[1], w, h, self.generation, img]
+        self._dirty.append(key)
         return tuple(self.entries[key][:4])
 
     def array(self) -> np.ndarray:
@@ -233,11 +263,34 @@ class ImageAtlas:
         hpad = 64
         while hpad < self.height:
             hpad *= 2
-        out = np.zeros((hpad, self.width, 4), dtype=np.float32)
-        for x, y, w, h, _, img in self.entries.values():
+        cached = self._packed
+        grown = cached is not None and (
+            cached.shape[0] < hpad or cached.shape[1] != self.width)
+        if cached is None or self._needs_rebuild:
+            out = np.zeros((hpad, self.width, 4), dtype=np.float32)
+            self._dirty = list(self.entries.keys())
+            self.rebuilds += 1
+        elif grown:
+            # position-stable growth: copy the old page into the larger
+            # canvas, then blit only the new entries
+            out = np.zeros((hpad, self.width, 4), dtype=np.float32)
+            out[:cached.shape[0], :cached.shape[1]] = cached
+        elif self._dirty:
+            # copy-on-write so arrays returned earlier stay immutable
+            out = cached.copy()
+        else:
+            return cached
+        for k in self._dirty:
+            e = self.entries.get(k)
+            if e is None:
+                continue
+            x, y, w, h, _, img = e
             rgba = img.data.astype(np.float32) / 255.0
             rgba[..., :3] *= rgba[..., 3:4]  # premultiply
             out[y:y + h, x:x + w] = rgba
+        self._dirty = []
+        self._needs_rebuild = False
+        self._packed = out
         return out
 
 
