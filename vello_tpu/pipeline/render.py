@@ -89,25 +89,33 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
     out_t = msaa_coverage_pallas(trow2, bdr, ns, has_evenodd=has_evenodd)
     ends = jnp.maximum(starts[1:] - 1, 0)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
-    # One packed (F, 8) table: narrow per-fragment gathers cost the same
-    # ~10 ns/row as a full row gather, so four separate (F,) lookups would
-    # eat the win back. f32 holds ends exactly (tiers < 2^24).
-    pack = jnp.concatenate(
-        [ends.astype(jnp.float32)[:, None],
-         has_t.astype(jnp.float32)[:, None], cov_empty,
-         valid.astype(jnp.float32)[:, None],
-         jnp.zeros((ends.shape[0], 4), jnp.float32)], axis=1)
+    # One packed (F, 2) table (a narrower row gather costs the same, but
+    # every (F, k<128) column materialized pays 128/k lane-pad bloat, so
+    # the three flags ride ONE arithmetic-packed f32: ends*4 + has_t*2 +
+    # valid stays exact below 2^24 tiers).
+    flags = (ends.astype(jnp.float32) * 4.0
+             + has_t.astype(jnp.float32) * 2.0 + valid.astype(jnp.float32))
+    pack = jnp.stack([flags, cov_empty[:, 0]], axis=-1)  # (F, 2)
     return out_t, pack
+
+
+def _msaa_pack_has_t(pack):
+    """Decode the has-touches bit from the packed flags column."""
+    return jnp.floor_divide(pack[:, 0], 2.0) % 2.0 > 0.0
 
 
 def _msaa_coverage_at(parts, fidx):
     """Assemble coverage rows for fragments fidx from _msaa_coverage_device
-    parts with one (N, 8) pack gather + one (N, 256) row gather."""
+    parts with one (N, 2) pack gather + one (N, 256) row gather."""
     out_t, pack = parts
     pr = pack[fidx]
-    cov = jnp.where(pr[:, 1:2] > 0.0,
-                    out_t[pr[:, 0].astype(jnp.int32)], pr[:, 2:3])
-    return jnp.where(pr[:, 3:4] > 0.0, cov, 0.0)
+    flags = pr[:, 0:1]
+    ends = jnp.floor_divide(flags, 4.0)
+    has_t = jnp.floor_divide(flags, 2.0) % 2.0
+    valid = flags % 2.0
+    cov = jnp.where(has_t > 0.0,
+                    out_t[ends[:, 0].astype(jnp.int32)], pr[:, 1:2])
+    return jnp.where(valid > 0.0, cov, 0.0)
 
 
 def wants_fused_geom(caps: "Capacities") -> bool:
@@ -387,7 +395,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             # all-cancelling fragment live costs a no-op composite;
             # dropping the (F, 256) materialization saves a row gather.
             _, pack_m = msaa_parts
-            live = (pack_m[:, 1] > 0.0) | (pack_m[:, 2] > (1.0 / 512.0))
+            live = _msaa_pack_has_t(pack_m) | (pack_m[:, 1] > (1.0 / 512.0))
             if geom_axis is not None:
                 # the live mask keys the fragment sort, which must be
                 # IDENTICAL on every shard for the coverage psum to align:
