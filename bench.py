@@ -33,6 +33,7 @@ def main():
     from vello_tpu.pipeline.render import PipelineStatic, get_pipeline
     from vello_tpu.scenes.test_scenes import filled_mmark
 
+    jax.devices()   # backend/tunnel init is not encode work
     t0 = time.time()
     scene = filled_mmark(COMPLEXITY, float(SIZE))
     params = RenderParams(SIZE, SIZE, base_color=(0.1, 0.1, 0.1, 1.0),
@@ -54,7 +55,9 @@ def main():
     _slim = wants_fused_geom(caps)
     _paint8 = _slim and set(static.kinds_present) <= {0}
     bufs = pack_buffers(rs, caps, params, slim=_slim, paint8=_paint8)
-    bufs = {k: jax.device_put(np.asarray(v)) for k, v in bufs.items()}
+    # ONE batched device_put: per-buffer calls pay a tunnel round-trip
+    # each (~3 s total at this tier); the pytree transfer is ~0.3 s.
+    bufs = jax.device_put({k: np.asarray(v) for k, v in bufs.items()})
     encode_s = time.time() - t0
     fn = get_pipeline(static)
 

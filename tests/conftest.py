@@ -35,3 +35,29 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA CPU compiler segfaults when the process heap is already
+    several GB deep (seen ~170 tests into the full suite); dropping the
+    jit executable cache at module boundaries keeps the heap bounded.
+    Same-module tests still share compiled pipelines."""
+    yield
+    try:
+        import jax
+
+        from vello_tpu.pipeline import layered as _lay
+        from vello_tpu.pipeline import render as _ren
+
+        # drop the repo's own jit caches first: they pin the compiled
+        # executables jax.clear_caches() would otherwise free
+        _ren._JIT_CACHE.clear()
+        _ren._JIT_B_CACHE.clear()
+        for name in dir(_lay):
+            v = getattr(_lay, name)
+            if isinstance(v, dict) and name.endswith("_CACHE"):
+                v.clear()
+        jax.clear_caches()
+    except Exception:
+        pass

@@ -34,8 +34,8 @@ def main():
     static = PipelineStatic(
         caps_key=caps.key(), width=size, height=size,
         kinds_present=tuple(sorted(set(int(k) for k in rs.paint_kind))))
-    bufs = {k: jax.device_put(np.asarray(v))
-            for k, v in pack_buffers(rs, caps, params).items()}
+    bufs = jax.device_put({k: np.asarray(v)
+            for k, v in pack_buffers(rs, caps, params).items()})
     WT_alloc = static.width_tiles + 1
     HT = static.height_tiles
     W = float(WT_alloc * TILE_W)

@@ -49,9 +49,9 @@ def build(complexity, size, aa="area"):
     from vello_tpu.pipeline.render import wants_fused_geom
     _slim = wants_fused_geom(caps)
     _paint8 = _slim and set(static.kinds_present) <= {0}
-    bufs = {k: jax.device_put(np.asarray(v))
+    bufs = jax.device_put({k: np.asarray(v)
             for k, v in pack_buffers(rs, caps, params, slim=_slim,
-                                     paint8=_paint8).items()}
+                                     paint8=_paint8).items()})
     from functools import partial
     fn = jax.jit(partial(render_frame, static=static))
     return fn, bufs

@@ -184,8 +184,8 @@ class Renderer:
             caps_key=caps.key(), width=params.width, height=params.height,
             kinds_present=kinds, aa=params.antialiasing,
             has_evenodd=bool((rs.fill_rule == 1).any()))
-        bufs = {k: jax.device_put(np.asarray(v))
-                for k, v in pack_buffers(rs, caps, params).items()}
+        bufs = jax.device_put({k: np.asarray(v)
+                for k, v in pack_buffers(rs, caps, params).items()})
         compiled = jax.jit(_p(render_frame, static=static)).lower(
             bufs).compile()
         stages = profile_stages(compiled, bufs)
@@ -290,9 +290,11 @@ class Renderer:
             if cached is not None and cached[0] == cache_key:
                 bufs = cached[1]
             else:
-                bufs = {k: jax.device_put(np.asarray(v)) for k, v in
+                # one batched transfer (per-buffer device_put pays a
+                # host round-trip each on remote backends)
+                bufs = jax.device_put({k: np.asarray(v) for k, v in
                         pack_buffers(rs, caps, params, slim=slim,
-                                     paint8=paint8).items()}
+                                     paint8=paint8).items()})
                 object.__setattr__(rs, "_device_bufs", (cache_key, bufs))
             if has_layers:
                 img, overflow = get_layered_pipeline(
