@@ -96,15 +96,20 @@ def main():
     n_segs = rs.n_segs
     msegs = rs.est_lines * fps / 1e6
 
-    # Batched serving throughput: vmap over B frames (the dp axis on one
-    # chip) — amortizes fixed per-dispatch costs.
+    # Batched serving throughput: B frames per dispatch via lax.map —
+    # sequential frames inside ONE executable keep the working set at 1x
+    # (a vmap'd dp batch quadruples the live intermediates and loses ~20%
+    # to HBM pressure; measured r2: vmap 14.3 vs single 19.1 fps). The
+    # device is >95% busy in the single-frame loop, so batching on one
+    # chip amortizes only the per-dispatch gap.
     batch_fps = None
     B = int(os.environ.get("BENCH_BATCH", "4"))
     if B > 1:
         from functools import partial
 
         from vello_tpu.pipeline.render import render_frame
-        bfn = jax.jit(jax.vmap(partial(render_frame, static=static)))
+        bfn = jax.jit(lambda bb: jax.lax.map(
+            partial(render_frame, static=static), bb))
         bbufs = {k: jnp.stack([v] * B) for k, v in
                  ((k, jnp.asarray(v)) for k, v in bufs.items())}
         imgs, ovf = bfn(bbufs)

@@ -84,20 +84,20 @@ def test_msaa_kernel_matches_xla(ns, seed):
         jnp.asarray(seg), jnp.asarray(yedge), jnp.asarray(starts),
         jnp.asarray(backdrop), jnp.asarray(rule), ns)
 
-    diff = fid[1:] != fid[:-1]
-    is_last = np.concatenate([diff, [True]])
-    rank = np.cumsum(np.concatenate([[True], diff])) - 1
+    # the kernel derives ranks/boundaries from the ftile column (col 6)
     trow = np.concatenate(
         [seg, yedge[:, None], np.zeros((t, 1), np.float32),
-         rank.astype(np.float32)[:, None],
-         is_last.astype(np.float32)[:, None]], axis=1).astype(np.float32)
+         fid.astype(np.float32)[:, None],
+         np.zeros((t, 1), np.float32)], axis=1).astype(np.float32)
     bdr = np.zeros((f + 8 + WF_M, 128), np.float32)
     bdr[:f, 0] = backdrop
     bdr[:f, 1] = rule[:, 0]
     out_t = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr), ns,
-                                 has_evenodd=True, interpret=True)
+                                 has_evenodd=True, ft_clip=f,
+                                 interpret=True)
+    assert out_t.dtype == jnp.bfloat16   # k/ns coverage sums: bf16-exact
     ends = np.maximum(starts[1:] - 1, 0)
-    got = np.asarray(out_t)[ends]
+    got = np.asarray(out_t, dtype=np.float32)[ends]
     np.testing.assert_allclose(got, np.asarray(ref), rtol=0, atol=1e-5)
 
     # the has_evenodd=False specialization must agree on nonzero-only data
@@ -106,6 +106,7 @@ def test_msaa_kernel_matches_xla(ns, seed):
         jnp.asarray(seg), jnp.asarray(yedge), jnp.asarray(starts),
         jnp.asarray(backdrop), jnp.asarray(np.zeros_like(rule)), ns)
     out0 = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr0), ns,
-                                has_evenodd=False, interpret=True)
-    np.testing.assert_allclose(np.asarray(out0)[ends], np.asarray(ref0),
-                               rtol=0, atol=1e-5)
+                                has_evenodd=False, ft_clip=f,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out0, dtype=np.float32)[ends],
+                               np.asarray(ref0), rtol=0, atol=1e-5)

@@ -117,26 +117,25 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=None):
 # the open fragment across blocks, resolves coverage per fragment row, and
 # maps it back to each fragment's LAST touch row of the (T, 256) output.
 
-CK_M = 112                 # touches per grid step (msaa)
-WF_M = CK_M + 16           # fragment-window rows: touched-fragment ids are
+CK_M = 120                 # touches per grid step (msaa)
+WF_M = CK_M + 8            # fragment-window rows: touched-fragment ids are
                            # DENSE ranks in the sorted touch stream, so a
-                           # CK-touch block spans <= CK+1 ranks (+8 align).
-                           # CK=112/WF=128 keeps the fold matmul at ONE MXU
-                           # M-tile (128 rows) and one K-tile: the fold is
-                           # the kernel's MXU floor at WFpad*ns*256 MACs per
-                           # touch, so 128x128 halves it vs the earlier
-                           # 224 -> (256, 256) padded shape. (Measured: with
-                           # the round-2 VPU-heavy delta math both shapes
-                           # were ~equal; after the delta diet the MXU
-                           # share dominates and 112 wins.)
+                           # CK-touch block spans <= CK+1 ranks, plus <= 7
+                           # rows of align-8 slack on w0: 120+1+7 = 128
+                           # EXACTLY — one MXU M-tile and one K-tile for
+                           # the fold matmul, whose WFpad*ns*256 MACs per
+                           # touch are the kernel's MXU floor. CK=120 packs
+                           # the window tighter than the earlier 112
+                           # ((128x128x4096)/CK: 559k vs 599k MACs/touch).
 
 
 def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
                      trow_hbm,         # VMEM blocked (CK, 8) via in_specs
+                     rkis_hbm,         # VMEM blocked (CK, 1): rank*2+islast
                      sxy_ref,          # VMEM (2, ns*256) sample coords
                      bdr_hbm,          # ANY (Fpad, 128) rank-ordered:
                                        # col0 backdrop, col1 rule
-                     out_ref,          # out VMEM (CK, 256)
+                     out_ref,          # out VMEM (CK, 256) bf16
                      bwin_ref, carry_ref, meta_ref, sem, *, ns,
                      has_evenodd):
     g = pl.program_id(0)
@@ -150,12 +149,14 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
         meta_ref[1] = 0
 
     t = trow_hbm[...]                                   # (CK, 8)
+    rkis = rkis_hbm[...]                                # (CK, 1)
     x0 = t[:, 0:1]
     y0 = t[:, 1:2]
     x1 = t[:, 2:3]
     y1 = t[:, 3:4]
     ye = t[:, 4:5]
-    islast = t[:, 7:8]                                  # 1.0 at segment ends
+    rankf = jnp.floor(rkis * 0.5)                       # (CK, 1)
+    islast = rkis - 2.0 * rankf                         # 1.0 at run ends
     dx = x1 - x0
     dy = y1 - y0
     ymin = jnp.minimum(y0, y1)
@@ -179,10 +180,9 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
 
     # fold into the fragment window (one-hot bf16 matmul, exact for the
     # small-integer deltas; f32 accumulate). The one-hot is built in the
-    # (CK, WF) orientation — local rank lives in a trow column — and the
-    # fold contracts dim 0 of both operands.
+    # (CK, WF) orientation and the fold contracts dim 0 of both operands.
     w0f = jax.lax.convert_element_type(w0, jnp.float32)
-    ftl_col = t[:, 6:7] - w0f                           # (CK, 1)
+    ftl_col = rankf - w0f                               # (CK, 1)
     wiota_c = jax.lax.broadcasted_iota(
         jnp.int32, (WF_M, 1), 0).astype(jnp.float32)    # (WF, 1)
     wiota_r = jax.lax.broadcasted_iota(
@@ -239,22 +239,29 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
 
     # back-map each finished fragment's coverage to its LAST touch row.
     # cov values are k/ns sums: exact in bf16, so a single-pass bf16
-    # selection matmul is lossless.
+    # selection matmul is lossless — and the OUTPUT stays bf16 (still
+    # exact), halving the (T, 256) HBM write and the downstream
+    # coverage-assembly gather traffic.
     ohT = ohT_fold * (islast > 0.0).astype(jnp.bfloat16)   # (CK, WF)
     out = jax.lax.dot_general(
         ohT, cov, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (CK, 256)
-    out_ref[...] = out
+    out_ref[...] = out.astype(jnp.bfloat16)
 
 
-def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
+def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
                          interpret=None):
     """trow (T, 8) f32 fragment-sorted touch rows [x0,y0,x1,y1,y_edge,_,
-    rank,is_last]; bdr (Fpad, 128) f32 rank-ordered [backdrop, rule]
-    (rank = dense fragment rank, trow col 6). Returns (T, 256) f32
-    with each fragment's resolved MSAA coverage at its last touch row
-    (zeros elsewhere). ``has_evenodd=False`` specializes out the even-odd
-    fill-rule path (static, saves a wide round/abs/select per step)."""
+    ftile,_]; bdr (Fpad, 128) f32 rank-ordered [backdrop, rule]. Fragment
+    ranks and run boundaries derive from the sorted ftile column (payload
+    col 6, carried through the coarse-sort gather for free) as a NARROW
+    (T, 2) [rank, is_last] side table — never spliced into the wide
+    (T, 8) stream (the old full-width concat copied 21 MB/frame; in-kernel
+    sublane rolls on (CK, 1) columns were worse still, +6 ms of Mosaic
+    relayouts). ftile values >= ft_clip (the dump segment) collapse into
+    one trailing run. Returns (T, 256) bf16 (exact: k/ns sums) with each
+    fragment's resolved MSAA coverage at its last touch row (zeros
+    elsewhere). ``has_evenodd=False`` specializes out the even-odd path."""
     interpret = interpret_default() if interpret is None else interpret
     import numpy as _np
 
@@ -267,25 +274,37 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
         pxp + _np.repeat([o[0] for o in offs], NPX),
         pyp + _np.repeat([o[1] for o in offs], NPX)]), dtype=jnp.float32)
 
+    if ft_clip is None:
+        ft_clip = 2 ** 24       # f32-exact ceiling for raw ftile values
     t0 = trow.shape[0]
     if t0 % CK_M:
-        # pad with zero-geometry rows bound to the last rank (delta-free,
-        # islast=0 so they never write output)
+        # pad with zero-geometry rows in a run of their OWN (so the final
+        # real row keeps is_last; pad output rows are never gathered).
+        # Capacity tiers aligned to CK_M skip this concat entirely.
         padn = CK_M - t0 % CK_M
-        lastrow = jnp.concatenate(
-            [jnp.zeros((1, 6), jnp.float32), trow[-1:, 6:7],
-             jnp.zeros((1, 1), jnp.float32)], axis=1)
+        padrow = jnp.zeros((1, 8), jnp.float32).at[0, 6].set(
+            float(ft_clip) + 1.0)
         trow = jnp.concatenate(
-            [trow, jnp.broadcast_to(lastrow, (padn, 8))])
+            [trow, jnp.broadcast_to(padrow, (padn, 8))])
     t = trow.shape[0]
-    # 8-aligned fragment-rank window start per grid step
-    w0s = ((trow[::CK_M, 6] // 8) * 8).astype(jnp.int32)
+    # narrow (T,) boundary columns from the sorted ftile payload
+    ftcol = jnp.minimum(trow[:, 6], jnp.float32(ft_clip + 1))
+    diff = ftcol[1:] != ftcol[:-1]
+    is_first = jnp.concatenate([jnp.ones(1, bool), diff])
+    is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    # one packed (T, 1) column: rank*2 + is_last (exact below 2^23 ranks)
+    rkis = (rank.astype(jnp.float32) * 2.0
+            + is_last.astype(jnp.float32))[:, None]
+    w0s = (rank[::CK_M] // 8) * 8                       # 8-aligned
     g = t // CK_M
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((CK_M, 8), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CK_M, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, ns * NPX), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -302,15 +321,15 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True,
     )
     kern = functools.partial(_msaa_cov_kernel, ns=ns,
                              has_evenodd=has_evenodd)
-    # NOTE: returns the CK-padded row count (pad rows are islast=0 => all
-    # zero); callers gather by touch index < t0, so slicing back would only
-    # add an 800 MB copy.
+    # NOTE: returns the CK-padded row count (pad rows never match islast =>
+    # all zero); callers gather by touch index < t0, so slicing back would
+    # only add a large copy.
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.bfloat16),
         interpret=interpret,
-    )(w0s, trow, sxy, bdr)
+    )(w0s, trow, rkis, sxy, bdr)
 
 
 def interpret_default() -> bool:

@@ -76,9 +76,15 @@ def segment_sum_from_starts(vals: jnp.ndarray, starts: jnp.ndarray
     would copy the whole cumsum tensor)."""
     c = _cumsum0(vals)
     mask = starts > 0
+    idx = jnp.maximum(starts - 1, 0)
     if vals.ndim > 1:
         mask = mask.reshape((-1,) + (1,) * (vals.ndim - 1))
-    at = jnp.where(mask, c[jnp.maximum(starts - 1, 0)], 0)
+        at = jnp.where(mask, c[idx], 0)
+    else:
+        # 1-D gathers lower to the slow T(1024)-layout path on TPU
+        # (~2x a 2-D row gather at the same row count): gather a (N, 1)
+        # view instead
+        at = jnp.where(mask, c[:, None][idx][:, 0], 0)
     return at[1:] - at[:-1]
 
 

@@ -70,10 +70,6 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
     ~2.5 ms at the bench tier)."""
     from ..ops.pallas_kernels import WF_M, msaa_coverage_pallas
 
-    diff = seg_ids[1:] != seg_ids[:-1]
-    is_first = jnp.concatenate([jnp.ones(1, bool), diff])
-    is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
-    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
     f = backdrop.shape[0]
     has_t = starts[1:] > starts[:-1]
     rank_f = jnp.cumsum(has_t.astype(jnp.int32)) - 1
@@ -83,10 +79,10 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
     fpad = f + 8 + WF_M
     bdr = jnp.pad(jnp.stack([bd_d, rl_d], axis=-1),
                   ((0, fpad - f), (0, 126)))             # (Fpad, 128)
-    trow2 = jnp.concatenate(
-        [trow[:, :6], rank.astype(jnp.float32)[:, None],
-         is_last.astype(jnp.float32)[:, None]], axis=1)  # (T, 8)
-    out_t = msaa_coverage_pallas(trow2, bdr, ns, has_evenodd=has_evenodd)
+    # ranks/boundaries derive in-kernel from the ftile payload column
+    # (trow col 6) — no (T, 8) rank/is_last concat is materialized
+    out_t = msaa_coverage_pallas(trow, bdr, ns, has_evenodd=has_evenodd,
+                                 ft_clip=f)
     ends = jnp.maximum(starts[1:] - 1, 0)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
     # One packed (F, 2) table (a narrower row gather costs the same, but
@@ -113,9 +109,12 @@ def _msaa_coverage_at(parts, fidx):
     ends = jnp.floor_divide(flags, 4.0)
     has_t = jnp.floor_divide(flags, 2.0) % 2.0
     valid = flags % 2.0
+    # out_t rows are bf16 (exact k/ns coverage); keep the assembled rows
+    # bf16 so downstream composite reads move half the bytes
     cov = jnp.where(has_t > 0.0,
-                    out_t[ends[:, 0].astype(jnp.int32)], pr[:, 1:2])
-    return jnp.where(valid > 0.0, cov, 0.0)
+                    out_t[ends[:, 0].astype(jnp.int32)],
+                    pr[:, 1:2].astype(out_t.dtype))
+    return jnp.where(valid > 0.0, cov, jnp.zeros((), out_t.dtype))
 
 
 def wants_fused_geom(caps: "Capacities") -> bool:
@@ -267,9 +266,14 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     if "pay" in touches:
         tpack = touches["pay"].T                              # (T, 8)
     else:
+        # col 6 = ftile: the msaa kernel derives fragment ranks/boundaries
+        # from this column post-sort (no separate rank/is_last concat)
         tpack = jnp.concatenate(
             [touches["seg"], touches["y_edge"][:, None],
-             touches["backdrop_val"][:, None]], axis=-1)      # (T, 6)
+             touches["backdrop_val"][:, None],
+             touches["ftile"].astype(jnp.float32)[:, None],
+             jnp.zeros((touches["seg"].shape[0], 1), jnp.float32)],
+            axis=-1)                                          # (T, 8)
     tix = jnp.arange(tpack.shape[0], dtype=jnp.int32)
     with jax.named_scope("s04_coarse_sort"):
         # unstable: touch order within a tile is immaterial (winding sums
@@ -424,6 +428,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                 # owning-shard-complete msaa coverage: one post-assembly
                 # all-reduce at n_live rows combines the shards exactly
                 coverage_s = jax.lax.psum(coverage_s, axis_name=geom_axis)
+            if keep_clip_paths:
+                # the layered compositor multiplies coverages (clip-chain
+                # collapse); bf16 k/ns values are exact but their products
+                # are not — widen for the layered path
+                coverage_s = coverage_s.astype(jnp.float32)
         else:
             coverage_s = coverage[fidx_s]  # 1 KB rows, 4x cheaper than src
     overflow = geom_overflow + 4 * touches["overflow"] \
