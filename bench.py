@@ -34,6 +34,8 @@ def main():
     from vello_tpu.scenes.test_scenes import filled_mmark
 
     jax.devices()   # backend/tunnel init is not encode work
+    import jax.experimental.pallas  # noqa: F401  (module import, not encode:
+    #                               ~1.3 s of interpreter work on first use)
     t0 = time.time()
     scene = filled_mmark(COMPLEXITY, float(SIZE))
     params = RenderParams(SIZE, SIZE, base_color=(0.1, 0.1, 0.1, 1.0),
