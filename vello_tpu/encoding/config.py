@@ -127,8 +127,13 @@ class RenderParams:
     antialiasing: str = "area"   # "area" | "msaa8" | "msaa16"
     # "quality" = f32 fine stages; "speed" = bf16 coverage/paint tensors
     # (the OptimizeSpeed / u8-lowp analog of vello_cpu fine/lowp.rs —
-    # bf16's 8-bit mantissa matches u8 output precision, and on TPU it
-    # halves the fine-stage HBM traffic)
+    # bf16's 8-bit mantissa matches u8 output precision). MEASURED
+    # honestly: on TPU the fine stages are compute-bound, not HBM-bound,
+    # so "speed" is fps-NEUTRAL on every config we benched (msaa16 1600²:
+    # 0.95x; area 3200²: 1.004x). It halves the fine-stage intermediate
+    # FOOTPRINT (useful headroom for batched serving), and output stays
+    # within u8 rounding of "quality"; kept for API parity with the
+    # reference's RenderMode, not as a throughput claim.
     render_mode: str = "quality"
 
     @property
