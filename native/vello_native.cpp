@@ -203,7 +203,7 @@ extern "C" int vn_estimate(
     double* bbox,          // (n_paths, 4) workspace f64
     float* hmin, float* hmax)  // ((n_paths+1) * (ht+1)) workspaces
 {
-    const double TW = 16.0, TH = 16.0;
+    const double TW = 16.0, TH = 16.0;  // must match encoding/config.py TILE_W/TILE_H
     const int ht1 = ht_tiles + 1;
     long long est_lines = 0;
     double est_touches = 0.0;

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from vello_tpu.ops import fine_xla
-from vello_tpu.ops.pallas_kernels import (FINE_CHUNK, WF_M,
+from vello_tpu.ops.pallas_kernels import (FINE_CHUNK, NPX, WF_M,
                                           fine_composite_solid,
                                           fine_composite_solid_cov,
                                           msaa_coverage_pallas)
@@ -25,7 +25,7 @@ from vello_tpu.ops.pallas_kernels import (FINE_CHUNK, WF_M,
 
 def _frag_stream(rng, n_frag, n_gtiles):
     g = np.sort(rng.integers(0, n_gtiles, n_frag)).astype(np.int32)
-    cov = rng.uniform(0.0, 1.0, (n_frag, 256)).astype(np.float32)
+    cov = rng.uniform(0.0, 1.0, (n_frag, NPX)).astype(np.float32)
     a = rng.uniform(0.0, 1.0, (n_frag, 1)).astype(np.float32)
     col = np.concatenate([rng.uniform(0, 1, (n_frag, 3)) * a, a],
                          axis=1).astype(np.float32)

@@ -433,10 +433,10 @@ def test_occlusion_culling_correct():
     # kernel honoring (los, his), in interpret mode
     import jax.numpy as jnp
 
-    from vello_tpu.ops.pallas_kernels import fine_composite_solid
+    from vello_tpu.ops.pallas_kernels import NPX, fine_composite_solid
     from vello_tpu.pipeline.render import occlusion_los
     g_s = jnp.asarray([0, 0, 0, 1, 1, 2], jnp.int32)
-    cov = jnp.stack([jnp.full(256, v) for v in
+    cov = jnp.stack([jnp.full(NPX, v) for v in
                      [0.4, 1.0, 0.5, 1.0, 1.0, 0.3]])
     opq = jnp.asarray([True, True, False, False, True, True])
     starts = jnp.asarray([0, 3, 5, 6, 6], jnp.int32)  # 4 tiles (one empty)
@@ -447,7 +447,7 @@ def test_occlusion_culling_correct():
     assert his.tolist() == [3, 5, 6, 6]
     rng = np.random.default_rng(0)
     a = rng.uniform(0.2, 1.0, (6, 1, 1)).astype(np.float32)
-    src = (rng.uniform(0, 1, (6, 4, 256)).astype(np.float32) * a)
+    src = (rng.uniform(0, 1, (6, 4, NPX)).astype(np.float32) * a)
     src[:, 3] = a[:, 0]
     base = np.array([0.1, 0.2, 0.3, 1.0], np.float32)
     ref = fine_composite_solid(jnp.asarray(src), jnp.asarray(base),

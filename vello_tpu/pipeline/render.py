@@ -240,7 +240,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
                 active = (gidx >= k * share) & (gidx < (k + 1) * share)
                 decoded["kind"] = jnp.where(active, decoded["kind"], 0)
             nl_local = max(caps.n_lines // geom_shards, 1024)
-            nt_local = max(caps.n_touches // geom_shards, 1024)
+            # keep the per-shard touch capacity BLK-aligned for the
+            # coverage kernel (the global cap's 15360 alignment does not
+            # survive division by the shard count)
+            nt_local = -(-max(caps.n_touches // geom_shards, 1024)
+                         // 1024) * 1024
             ne_local = max(caps.n_edges // geom_shards, 256)
 
         fl = flatten_ops.flatten(decoded, nl_local, ne_local, W, H,
