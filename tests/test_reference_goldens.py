@@ -158,6 +158,9 @@ SIZES = {
     "clip_test": (512, 768),     # no resolution -> no scale-to-fit
     "blurred_rounded_rect": (200, 200),
     "longpathdash_butt": (220, 40),
+    "longpathdash_round": (220, 40),
+    "stroke_styles_non_uniform": (310, 180),
+    "stroke_styles_skew": (512, 256),
     "luminance_mask": (55, 55),
     "two_point_radial": (260, 240),
     "conflation_artifacts": (250, 350),

@@ -320,7 +320,7 @@ def blurred_rounded_rect(scene: Scene, params: SceneParams) -> None:
 
 
 # test_scenes.rs:779-821 (cap = butt)
-def longpathdash_butt(scene: Scene, params: SceneParams) -> None:
+def _longpathdash(scene: Scene, cap: str) -> None:
     p = BezPath()
     x = 32
     while x < 256:
@@ -338,9 +338,31 @@ def longpathdash_butt(scene: Scene, params: SceneParams) -> None:
             a += math.pi * 0.01
         x += 16
     scene.stroke(
-        Stroke(width=1.0, start_cap="butt", end_cap="butt", join="bevel",
+        Stroke(width=1.0, start_cap=cap, end_cap=cap, join="bevel",
                dash_pattern=(1.0, 1.0)),
         Affine.translate(50.0, 50.0), palette.YELLOW, None, p)
+
+
+def longpathdash_butt(scene: Scene, params: SceneParams) -> None:
+    _longpathdash(scene, "butt")
+
+
+# test_scenes.rs:108 longpathdash(Cap::Round)
+def longpathdash_round(scene: Scene, params: SceneParams) -> None:
+    _longpathdash(scene, "round")
+
+
+def _stroke_styles_with(tf: Affine):
+    """stroke_styles under a scene transform (test_scenes.rs:89-90
+    stroke_styles_non_uniform / stroke_styles_skew)."""
+    def fn(scene: Scene, params: SceneParams) -> None:
+        from .test_scenes import stroke_styles
+        scene.append(stroke_styles(256.0), tf)
+    return fn
+
+
+stroke_styles_non_uniform = _stroke_styles_with(Affine.scale(1.2, 0.7))
+stroke_styles_skew = _stroke_styles_with(Affine.skew(1.0, 0.0))
 
 
 # test_scenes.rs: luminance_mask
@@ -370,6 +392,9 @@ REFERENCE_SCENES: Dict[str, Callable[[Scene, SceneParams], None]] = {
     "clip_test": clip_test,
     "blurred_rounded_rect": blurred_rounded_rect,
     "longpathdash_butt": longpathdash_butt,
+    "longpathdash_round": longpathdash_round,
+    "stroke_styles_non_uniform": stroke_styles_non_uniform,
+    "stroke_styles_skew": stroke_styles_skew,
     "luminance_mask": luminance_mask,
 }
 
