@@ -91,6 +91,9 @@ class palette:
     TOMATO = Color(1.0, 0.388, 0.278)
     SLATE_BLUE = Color(0.416, 0.353, 0.804)
     ALICE_BLUE = Color(240 / 255, 248 / 255, 1.0)
+    REBECCA_PURPLE = Color(102 / 255, 51 / 255, 153 / 255)
+    DARK_BLUE = Color(0.0, 0.0, 139 / 255)
+    DARK_GREEN = Color(0.0, 100 / 255, 0.0)
     SLATE_GRAY = Color(112 / 255, 128 / 255, 144 / 255)
     LIGHT_GREEN = Color(144 / 255, 238 / 255, 144 / 255)
 
