@@ -22,9 +22,17 @@ try:
     # Effective even though sitecustomize preloaded jaxlib: the backend is
     # only selected at first use. (XLA_FLAGS, in contrast, is captured at
     # jaxlib import — hence the subprocess fallback in test_parallel.)
+    # NOTE: the env vars above are setdefault-ineffective when the shell
+    # exports JAX_PLATFORMS=axon, and the axon register() hook forces
+    # jax_platforms="axon,cpu" via jax.config — so override the config AND
+    # drop the axon backend factory, or a wedged TPU tunnel hangs the
+    # whole CPU suite at first backends() call.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
 except Exception:
     pass
 

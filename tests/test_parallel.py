@@ -20,6 +20,7 @@ def test_dp_sp_sharded_matches_single_device():
         main()
         return
     env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""   # skip axon-tunnel registration
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")

@@ -245,8 +245,14 @@ assert np.allclose(img[H - 30, 100], exp, atol=2e-3), img[H - 30, 100]
 print("large_viewport OK")
 """
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
-    env.setdefault("JAX_PLATFORM_NAME", "cpu")
+    # Clear the axon-tunnel trigger: sitecustomize registers the TPU
+    # tunnel whenever PALLAS_AXON_POOL_IPS is set and then forces
+    # jax_platforms="axon,cpu", so a wedged tunnel would hang this child
+    # at first JAX use. Explicit set (not setdefault): the parent shell
+    # exports JAX_PLATFORMS=axon.
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run([sys.executable, "-c", script], env=env, cwd=repo,
                        capture_output=True, text=True, timeout=560)
