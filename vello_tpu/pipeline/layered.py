@@ -166,7 +166,9 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
                 clips, alpha, p = chain
                 path_clips[p, :len(clips)] = clips
                 path_alpha[p] = alpha
-                max_k = max(max_k, len(clips))
+                # a clipless opacity chain still needs the clipalpha
+                # table (n_levels >= 1) or its alpha product is dropped
+                max_k = max(max_k, len(clips), 1 if alpha != 1.0 else 0)
                 state["hi"] = p + 1   # range spans the clip slots + draw;
                 continue              # clip slots composite as no-ops
             info = ch["info"]
