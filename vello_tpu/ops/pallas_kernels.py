@@ -416,6 +416,32 @@ WIN_F = BLK_F + 256       # segment-window rows (128-aligned start + slack)
 _EDGE_EPS = 1.0 / 64.0
 
 
+def _select_rows_exact(w, oh):
+    """One-hot row select dot(w (R, W) f32, oh (B, W) {0,1}) -> (R, B) f32,
+    BIT-EXACT at 3 bf16 MXU passes instead of Precision.HIGHEST's 6.
+
+    Exactness: each f32 field splits into hi/mid/lo bf16 whose residual
+    subtractions are exact (24-bit mantissa = 3 x 8-bit chunks; each
+    residual is exactly representable), every product is field_chunk * 1.0,
+    and each output column has at most ONE nonzero term (the window ranges
+    [offs, incl) partition the row ids), so the f32 accumulation re-adds
+    the three chunks with no rounding: hi+mid = w - r2 (representable),
+    +lo = w. XLA's own BF16_3X (Precision.HIGH) is NOT exact here: it
+    splits operands 2-way and drops the lo*lo cross term, losing up to 8
+    mantissa bits — these are coordinates feeding floor()/DDA decisions
+    that must match the host estimator bit-for-bit."""
+    ohb = oh.astype(jnp.bfloat16)
+    hi = w.astype(jnp.bfloat16)
+    r1 = w - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    stacked = jnp.concatenate([hi, mid, lo], axis=0)       # (3R, W) bf16
+    r3 = jax.lax.dot_general(stacked, ohb, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    n = w.shape[0]
+    return r3[:n] + r3[n:2 * n] + r3[2 * n:]
+
+
 def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
                     spackT_hbm,    # ANY (24, Spad) f32 segment fields
                     out_ref,       # out VMEM (16, B) f32 line pack
@@ -433,9 +459,7 @@ def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
     p = jax.lax.broadcasted_iota(jnp.int32, (BLK_F, 1), 0) + g * BLK_F
     pf = p.astype(jnp.float32)                         # (B, 1)
     oh = ((pf >= offs_w) & (pf < incl_w)).astype(jnp.float32)   # (B, W)
-    r = jax.lax.dot_general(w, oh, (((1,), (1,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (24, B)
+    r = _select_rows_exact(w, oh)                               # (24, B)
 
     def f(k):
         return r[k:k + 1, :]
@@ -606,10 +630,8 @@ def _expand_touch_kernel(s0_ref,        # prefetch (G+1,) i32: 128-aligned
     p = jax.lax.broadcasted_iota(jnp.int32, (BLK_X, 1), 0) + g * BLK_X
     pf = p.astype(jnp.float32)                         # (B, 1)
     oh = ((pf >= offs_w) & (pf < incl_w)).astype(jnp.float32)   # (B, W)
-    # one-hot row select on the MXU; products are field*1.0, exact in f32
-    r = jax.lax.dot_general(w, oh, (((1,), (1,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (16, B)
+    # one-hot row select on the MXU (bit-exact 3-pass bf16 split)
+    r = _select_rows_exact(w, oh)                               # (16, B)
 
     def f(k):
         return r[k:k + 1, :]                           # (1, B)
