@@ -93,6 +93,7 @@ class palette:
     ALICE_BLUE = Color(240 / 255, 248 / 255, 1.0)
     REBECCA_PURPLE = Color(102 / 255, 51 / 255, 153 / 255)
     DARK_BLUE = Color(0.0, 0.0, 139 / 255)
+    ROYAL_BLUE = Color(65 / 255, 105 / 255, 225 / 255)
     DARK_GREEN = Color(0.0, 100 / 255, 0.0)
     SLATE_GRAY = Color(112 / 255, 128 / 255, 144 / 255)
     LIGHT_GREEN = Color(144 / 255, 238 / 255, 144 / 255)
