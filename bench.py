@@ -61,7 +61,8 @@ def main():
     # each (~3 s total at this tier); the pytree transfer is ~0.3 s.
     bufs = jax.device_put({k: np.asarray(v) for k, v in bufs.items()})
     encode_s = time.time() - t0
-    fn = get_pipeline(static)
+    # rgba8 render target, like the reference's render_to_texture surface
+    fn = get_pipeline(static, u8_out=True)
 
     t0 = time.time()
     img, overflow = fn(bufs)
@@ -76,7 +77,7 @@ def main():
             caps_key=caps.key(), width=SIZE, height=SIZE,
             kinds_present=static.kinds_present, aa=AA,
             has_evenodd=has_eo)
-        fn = get_pipeline(static)
+        fn = get_pipeline(static, u8_out=True)
         img, overflow = fn(bufs)
         _sync = int(jax.device_get(overflow))
     if _sync != 0:
@@ -132,7 +133,7 @@ def main():
                 kinds_present=static.kinds_present, aa=alt_aa,
                 has_evenodd=has_eo, lowp=(mode == "speed"),
                 n_live=static.n_live)
-            fn2 = get_pipeline(st2)
+            fn2 = get_pipeline(st2, u8_out=True)
             img2, ov2 = fn2(bufs)
             int(jax.device_get(ov2))
             t0 = time.time()

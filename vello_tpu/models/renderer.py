@@ -300,7 +300,11 @@ class Renderer:
                 img, overflow = get_layered_pipeline(
                     static, plan, scan_key, has_lfilter)(bufs, plan_dyn)
             else:
-                img, overflow = get_pipeline(static)(bufs)
+                # flat path: emit RGBA8 straight from the composite program
+                # (quantize-before-detile, one dispatch fewer; bit-identical
+                # to _to_rgba8_device after f32 assembly)
+                img, overflow = get_pipeline(
+                    static, u8_out=(out == "rgba8"))(bufs)
             overflow = int(jax.device_get(overflow))
             if attempt == 0:
                 log.info("render %dx%d aa=%s tier(lines=%d touches=%d "
@@ -313,7 +317,7 @@ class Renderer:
                          overflow, attempt)
             if overflow == 0:
                 t_done = time.time()
-                if out == "rgba8":
+                if out == "rgba8" and img.dtype != jnp.uint8:
                     img = _to_rgba8_device(img)
                 out = np.asarray(jax.device_get(img))
                 self.last_profile = {

@@ -495,13 +495,28 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     return out
 
 
-def _tiles_to_image(tiles, static, ht_local, crop_h: bool):
-    """(G, 4, NPX) channel-planar tiles -> (H, W, 4) image."""
+def _tiles_to_image(tiles, static, ht_local, crop_h: bool,
+                    u8_out: bool = False):
+    """(G, 4, NPX) channel-planar tiles -> (H, W, 4) image.
+
+    ``u8_out``: quantize to straight-alpha RGBA8 while still channel-planar
+    (lane-friendly 256-wide rows), THEN detile — the reference's render
+    target is an rgba8 texture (render.rs render_to_texture), and the
+    (G,4,NPX)->(H,W,4) relayout moves 4x fewer bytes in u8. Elementwise
+    quantization commutes with the transpose, so the result is bit-identical
+    to converting after assembly (utils.png.to_rgba8 semantics)."""
     WT = static.width_tiles
     # enforce the premultiplied invariant (0 <= rgb <= a <= 1); f32 rounding
     # in the transmittance composite can exceed it by ~1e-5
     a = jnp.clip(tiles[:, 3:4], 0.0, 1.0)
-    tiles = jnp.concatenate([jnp.clip(tiles[:, :3], 0.0, a), a], axis=1)
+    rgb = jnp.clip(tiles[:, :3], 0.0, a)
+    if u8_out:
+        safe = jnp.where(a > 1e-6, a, 1.0)
+        rgb = jnp.clip(rgb / safe, 0.0, 1.0)
+        tiles = jnp.concatenate([rgb, a], axis=1)
+        tiles = (tiles * 255.0 + 0.5).astype(jnp.uint8)
+    else:
+        tiles = jnp.concatenate([rgb, a], axis=1)
     img = tiles.reshape(ht_local, WT, 4, TILE_H, TILE_W)
     img = img.transpose(0, 3, 1, 4, 2).reshape(ht_local * TILE_H,
                                                WT * TILE_W, 4)
@@ -576,7 +591,7 @@ def render_frame(bufs: dict, static: PipelineStatic, stripe=None,
 
 
 def composite_frame(fr: dict, base_color, *, width: int, height: int,
-                    lowp: bool):
+                    lowp: bool, u8_out: bool = False):
     """Part B of the SPLIT pipeline: occlusion + fine composite + image
     assembly, from prepare_fragments' outputs. Compiled separately from the
     geometry program: XLA's optimization time explodes superlinearly in
@@ -615,7 +630,7 @@ def composite_frame(fr: dict, base_color, *, width: int, height: int,
                                                base_premul)
     dummy = PipelineStatic(caps_key=(), width=width, height=height,
                            kinds_present=(), lowp=lowp)
-    img = _tiles_to_image(tiles, dummy, HT, True)
+    img = _tiles_to_image(tiles, dummy, HT, True, u8_out=u8_out)
     return img, fr["overflow"]
 
 
@@ -624,21 +639,22 @@ _JIT_B_CACHE = {}
 _SPLIT_META = ("n_loc", "ht_local", "WT")
 
 
-def get_pipeline(static: PipelineStatic):
+def get_pipeline(static: PipelineStatic, u8_out: bool = False):
     """Two-stage split pipeline for the single-device flat path: geometry
     (prepare_fragments) and composite compile as SEPARATE XLA programs.
     The combined program's optimization time is superlinear in size
     (205 s vs 30+4 s split at the mmark msaa16 tier), and the composite
-    half is reused across capacity tiers."""
-    key = static
+    half is reused across capacity tiers. ``u8_out`` emits straight-alpha
+    RGBA8 directly (the reference's render-target format)."""
+    key = (static, u8_out)
     if key in _JIT_CACHE:
         return _JIT_CACHE[key]
     fa = jax.jit(partial(prepare_fragments, static=static))
-    bkey = (static.width, static.height, static.lowp)
+    bkey = (static.width, static.height, static.lowp, u8_out)
     if bkey not in _JIT_B_CACHE:
         _JIT_B_CACHE[bkey] = jax.jit(partial(
             composite_frame, width=static.width, height=static.height,
-            lowp=static.lowp))
+            lowp=static.lowp, u8_out=u8_out))
     fb = _JIT_B_CACHE[bkey]
 
     def run(bufs):
