@@ -65,6 +65,9 @@ class DrawRecord:
     blur_rect: Optional[Tuple[float, float, float, float]] = None
     blur_radius: float = 0.0
     blur_std_dev: float = 0.0
+    # paint 1-coverage instead (inset box shadows; reference
+    # vello_cpu/src/render.rs fill_blurred_rounded_rect invert)
+    blur_inverse: bool = False
     # layer filter: (kind, sigma, dx, dy, r, g, b, a) — see ops/filters.py
     layer_filter: Optional[Tuple] = None
     # Batched solid fills (Scene.fill_batch): this ONE record stands for

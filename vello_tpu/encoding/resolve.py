@@ -536,6 +536,7 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
             blur_rec[p, 0:4] = rec.blur_rect
             blur_rec[p, 4] = rec.blur_radius
             blur_rec[p, 5] = rec.blur_std_dev
+            blur_rec[p, 6] = 1.0 if rec.blur_inverse else 0.0
             paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
                                       dtype=np.float32)
         elif isinstance(rec.brush, Color):

@@ -276,6 +276,7 @@ def eval_paints(tile_px, tile_py, paint_kind, color, grad_rec, paint_inv,
 
         cov = blur_ops.blurred_rounded_rect_coverage(
             jnp, lx, ly, fb(0), fb(1), fb(2), fb(3), fb(4), fb(5))
+        cov = jnp.where(fb(6) != 0.0, 1.0 - cov, cov)   # inset shadows
         blur_p = color[:, :, None] * cov[:, None, :]
         out = jnp.where((paint_kind == PAINT_BLUR_RECT)[:, None, None],
                         blur_p, out)

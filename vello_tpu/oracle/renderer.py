@@ -189,6 +189,8 @@ def eval_paint(rs: ResolvedScene, p: int, width: int, height: int
         cov = blurred_rounded_rect_coverage(
             np, lx, ly, float(x0), float(y0), float(x1), float(y1),
             float(radius), float(std))
+        if rs.blur_rec[p][6] != 0.0:        # inset shadow: 1 - coverage
+            cov = 1.0 - cov
         return rs.color[p][None, None, :] * cov[..., None]
     raise ValueError(f"unknown paint kind {kind}")
 

@@ -209,7 +209,12 @@ class Scene:
 
     def draw_blurred_rounded_rect(self, transform: Affine, rect: Rect,
                                   brush: Color, radius: float,
-                                  std_dev: float) -> None:
+                                  std_dev: float,
+                                  inverse: bool = False) -> None:
+        """``inverse`` paints 1-coverage (opaque outside the blurred rect,
+        fading inside) within the same inflated region — inset box shadows
+        (reference vello_cpu/src/render.rs fill_blurred_rounded_rect
+        invert)."""
         # Blur extends ~2.5 sigma beyond the rect.
         pad = 2.5 * std_dev
         region = rect_path(rect.x0 - pad, rect.y0 - pad,
@@ -221,11 +226,13 @@ class Scene:
         self.encoding.encode_draw(DrawRecord(
             kind=DRAW_BLUR_RECT, brush=brush,
             blur_rect=(rect.x0, rect.y0, rect.x1, rect.y1),
-            blur_radius=float(radius), blur_std_dev=float(std_dev)))
+            blur_radius=float(radius), blur_std_dev=float(std_dev),
+            blur_inverse=inverse))
 
     def draw_blurred_rounded_rect_in(self, shape: BezPath, transform: Affine,
                                      rect: Rect, brush: Color,
-                                     radius: float, std_dev: float) -> None:
+                                     radius: float, std_dev: float,
+                                     inverse: bool = False) -> None:
         """Blurred rounded rect evaluated only inside an explicit region
         shape (reference: Scene::draw_blurred_rounded_rect_in,
         vello/src/scene.rs)."""
@@ -236,7 +243,8 @@ class Scene:
         self.encoding.encode_draw(DrawRecord(
             kind=DRAW_BLUR_RECT, brush=brush,
             blur_rect=(rect.x0, rect.y0, rect.x1, rect.y1),
-            blur_radius=float(radius), blur_std_dev=float(std_dev)))
+            blur_radius=float(radius), blur_std_dev=float(std_dev),
+            blur_inverse=inverse))
 
     def append(self, other: "Scene", transform: Optional[Affine] = None):
         self.encoding.append(other.encoding, transform)
