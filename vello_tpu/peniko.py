@@ -184,13 +184,30 @@ class ImageQuality(IntEnum):
 
 @dataclass(frozen=True)
 class Image:
-    """RGBA8 image data (premultiplied alpha not required; stored straight)."""
+    """RGBA8 image data (premultiplied alpha not required; stored straight).
 
-    data: np.ndarray            # (H, W, 4) uint8
+    ``data`` also accepts L8 (H, W), LA8 (H, W, 2) and RGB8 (H, W, 3)
+    arrays, expanded to RGBA8 at construction — the format handling of the
+    reference's Pixmap::from_png (vello_common/src/pixmap.rs)."""
+
+    data: np.ndarray            # (H, W, 4) uint8 (normalized from L/LA/RGB)
     x_extend: Extend = Extend.PAD
     y_extend: Extend = Extend.PAD
     quality: ImageQuality = ImageQuality.MEDIUM
     alpha: float = 1.0
+
+    def __post_init__(self):
+        d = np.asarray(self.data)
+        if d.ndim == 2:                                   # L8
+            d = np.stack([d, d, d, np.full_like(d, 255)], axis=-1)
+        elif d.shape[-1] == 2:                            # LA8
+            l_, a_ = d[..., 0], d[..., 1]
+            d = np.stack([l_, l_, l_, a_], axis=-1)
+        elif d.shape[-1] == 3:                            # RGB8
+            d = np.concatenate(
+                [d, np.full(d.shape[:2] + (1,), 255, d.dtype)], axis=-1)
+        object.__setattr__(self, "data", np.ascontiguousarray(
+            d.astype(np.uint8, copy=False)))
 
     def __hash__(self):
         return hash((id(self.data), self.x_extend, self.y_extend,
