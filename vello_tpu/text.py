@@ -345,11 +345,28 @@ class DrawGlyphs:
         self._raster = bool(on)
         return self
 
-    def draw(self, style: Fill, glyphs: Iterable[Glyph]) -> None:
+    def embolden(self, strength: float) -> "DrawGlyphs":
+        """Synthetic emboldening: dilate outlines by ~``strength`` user-space
+        pixels (the reference's FontEmbolden role, glyph.rs
+        glyphs_emboldened). Approximated as fill + round-joined stroke of
+        width 2*strength over the same outline — equivalent dilation for
+        glyph-shaped contours, without skrifa's per-point offsetting."""
+        self._embolden = float(strength)
+        return self
+
+    def draw(self, style, glyphs: Iterable[Glyph]) -> None:
+        """``style`` is a Fill rule for filled runs or a kurbo ``Stroke``
+        for stroked runs (reference DrawGlyphs::draw StyleRef, sparse
+        stroke_glyphs). Stroked and emboldened runs always use vector
+        outlines (the hinted raster path only fills)."""
+        from .kurbo import Stroke as _Stroke
+        stroke_style = style if isinstance(style, _Stroke) else None
+        embolden = getattr(self, "_embolden", 0.0)
         scale = self._size / self.font.upem
         t = self._transform
         use_hint = (self._hint and isinstance(self._brush, Color)
                     and self._glyph_transform is None
+                    and stroke_style is None and embolden == 0.0
                     and abs(t.coeffs[0] - 1.0) < 1e-9
                     and abs(t.coeffs[1]) < 1e-9 and abs(t.coeffs[2]) < 1e-9
                     and abs(t.coeffs[3] - 1.0) < 1e-9)
@@ -358,7 +375,8 @@ class DrawGlyphs:
             if drew_any is not None:
                 return
         use_raster = (self._raster and isinstance(self._brush, Color)
-                      and self._glyph_transform is None)
+                      and self._glyph_transform is None
+                      and stroke_style is None and embolden == 0.0)
         fg = self._brush if isinstance(self._brush, Color) \
             else Color(0, 0, 0, 1)
         colr1 = self.font.colr_v1() if hasattr(self.font, "colr_v1") \
@@ -406,7 +424,11 @@ class DrawGlyphs:
                     if lpath.is_empty():
                         continue
                     brush = self._brush if color is None else color
-                    self.scene.fill(style, self._transform, brush,
+                    # color glyph layers are always filled (reference
+                    # draw_colr ignores the run's stroke style)
+                    lstyle = Fill.NON_ZERO if stroke_style is not None \
+                        else style
+                    self.scene.fill(lstyle, self._transform, brush,
                                     self._brush_transform,
                                     lpath.transform(t))
                 continue
@@ -416,8 +438,18 @@ class DrawGlyphs:
             combined.extend(outline.transform(t))
         if combined.is_empty():
             return
+        if stroke_style is not None:
+            self.scene.stroke(stroke_style, self._transform, self._brush,
+                              self._brush_transform, combined)
+            return
         self.scene.fill(style, self._transform, self._brush,
                         self._brush_transform, combined)
+        if embolden > 0.0:
+            from .kurbo import Stroke as _S
+            self.scene.stroke(_S(width=2.0 * embolden, join="round",
+                                 start_cap="round", end_cap="round"),
+                              self._transform, self._brush,
+                              self._brush_transform, combined)
 
     def _draw_hinted(self, style, glyphs):
         """FreeType-hinted raster path (solid brush, pure translation).
