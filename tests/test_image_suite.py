@@ -303,3 +303,40 @@ def test_image_spritesheet():
                rect_path(0.0, 0.0, w, h))
         x += w
     _check("image_spritesheet", s, w=60, h=30)
+
+
+# image.rs:726-747 — "hello" sprites tinted rebecca purple (alpha-mask
+# tint: atlas alpha as coverage for the tint color)
+def test_image_spritesheet_tinted():
+    atlas = _load("glyph_atlas", "RGBA")
+    s = Scene()
+    x = 10.0
+    for (ax, ay, w, h, dy) in HELLO:
+        img = Image(data=atlas, x_extend=Extend.PAD, y_extend=Extend.PAD,
+                    quality=ImageQuality.LOW,
+                    tint=palette.REBECCA_PURPLE, tint_mode="alpha_mask")
+        t = Affine.translate(x, 8.0 + dy)
+        s.fill(Fill.NON_ZERO, t, img, Affine.translate(-ax, -ay),
+               rect_path(0.0, 0.0, w, h))
+        x += w
+    dev = _check("image_spritesheet_tinted", s, w=60, h=30)
+    ink = dev[..., 3] > 0.5
+    assert ink.any()
+    # tinted ink is rebecca purple, not the atlas's original color
+    r = dev[..., 0][ink].mean() / dev[..., 3][ink].mean()
+    assert abs(r - 102 / 255) < 0.08
+
+
+# image.rs:749-768 — a fully transparent tint erases the image in BOTH
+# tint modes
+def test_image_fully_transparent_tint():
+    base = rgb_10()
+    s = Scene()
+    for x, mode in [(0.0, "alpha_mask"), (50.0, "multiply")]:
+        img = Image(data=base, quality=ImageQuality.LOW,
+                    tint=palette.WHITE.with_alpha(0.0), tint_mode=mode)
+        t = Affine.translate(x, 0.0) @ Affine.scale(5.0)
+        s.fill(Fill.NON_ZERO, t, img, None, rect_path(0, 0, 10, 10))
+    dev = np.asarray(Renderer().render(
+        s, RenderParams(100, 100, base_color=(0, 0, 0, 0))))
+    assert float(np.abs(dev[..., 3]).max()) < 1e-3

@@ -195,6 +195,13 @@ class Image:
     y_extend: Extend = Extend.PAD
     quality: ImageQuality = ImageQuality.MEDIUM
     alpha: float = 1.0
+    # Tint (reference vello_common/src/paint.rs Tint/TintMode): applied to
+    # the pixel data at construction — tint is constant per paint, so
+    # baking it keeps the device fine path and the oracle unchanged.
+    #   "alpha_mask": tint_premul * source.alpha (glyph/monochrome tinting)
+    #   "multiply":   source * tint, componentwise
+    tint: Optional["Color"] = None
+    tint_mode: str = "alpha_mask"
 
     def __post_init__(self):
         d = np.asarray(self.data)
@@ -206,8 +213,21 @@ class Image:
         elif d.shape[-1] == 3:                            # RGB8
             d = np.concatenate(
                 [d, np.full(d.shape[:2] + (1,), 255, d.dtype)], axis=-1)
-        object.__setattr__(self, "data", np.ascontiguousarray(
-            d.astype(np.uint8, copy=False)))
+        d = d.astype(np.uint8, copy=False)
+        if self.tint is not None:
+            t = self.tint
+            f = d.astype(np.float32)
+            if self.tint_mode == "multiply":
+                scale = np.array([t.r, t.g, t.b, t.a], np.float32)
+                d = (f * scale + 0.5).astype(np.uint8)
+            else:                                         # alpha_mask
+                out = np.empty_like(f)
+                out[..., 0] = t.r * 255.0
+                out[..., 1] = t.g * 255.0
+                out[..., 2] = t.b * 255.0
+                out[..., 3] = f[..., 3] * t.a
+                d = (out + 0.5).astype(np.uint8)
+        object.__setattr__(self, "data", np.ascontiguousarray(d))
 
     def __hash__(self):
         return hash((id(self.data), self.x_extend, self.y_extend,
