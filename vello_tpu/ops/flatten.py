@@ -27,7 +27,13 @@ import jax.numpy as jnp
 
 from ..encoding.config import FLATTEN_TOL, MAX_LINES_PER_SEG
 
-_EDGE_EPS = 1.0 / 64.0  # keep clamped verticals strictly inside the viewport
+# Keep clamped verticals strictly inside the viewport. The strip [0, eps)
+# of column 0 loses winding coverage for every path clipped at x=0, so eps
+# must be far below the u8 quantum (1/255); 2^-10 is exactly representable
+# next to widths up to 8192 (f32 ulp at 8192 is 2^-10). Was 1/64, which
+# showed up as a visible 1.6%-per-clipped-path corner deficit in the
+# basic.rs left-cull suite.
+_EDGE_EPS = 2.0 ** -10
 
 
 def elevate_to_cubic(points, kind):

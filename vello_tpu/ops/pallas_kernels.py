@@ -413,7 +413,7 @@ def cumsum_pallas(x, interpret=None):
 BLK_F = 1024              # lines per grid step
 WIN_F = BLK_F + 256       # segment-window rows (128-aligned start + slack)
 
-_EDGE_EPS = 1.0 / 64.0
+_EDGE_EPS = 2.0 ** -10  # must match ops/flatten.py (see rationale there)
 
 
 def _select_rows_exact(w, oh):
