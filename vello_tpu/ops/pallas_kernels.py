@@ -792,15 +792,95 @@ def expand_touches_pallas(lpack, s0s, n_touch_cap, interpret=None):
 #
 # Replaces the XLA fragment chain (paint eval -> src materialization ->
 # transmittance log/exp composite) for scenes whose paints are all solid
-# colors: one pass over the sorted coverage rows, compositing
-# dst = src + dst*(1-a) directly in VMEM per global tile. Traffic drops from
-# ~1.5 GB of (F,4,256) intermediates to one 67 MB coverage read + 4 MB image
-# write. The PTCL-interpreter role of fine.wgsl, minus the bytecode.
+# colors. The PTCL-interpreter role of fine.wgsl, minus the bytecode.
+#
+# v2 (round 4): the per-fragment sequential walk (a latency-bound fori_loop,
+# ~40 ns/fragment) is replaced by CHUNK-VECTORIZED segmented compositing:
+# each 128-fragment chunk is processed ONCE for all tiles of the grid step —
+# ordered src-over  out = sum_i src_i * prod_{j>i} m_j  (m = 1-alpha) is
+# computed with two mask matmuls on the MXU (a strict-upper same-tile mask
+# for the suffix log-transmittances, the row->tile one-hot for the per-tile
+# partials) and one log/exp pair on the VPU. Per-fragment cost drops from
+# ~40 ns (serial) to ~5 ns (vectorized), and is insensitive to how many
+# tiles a chunk spans.
 
 FINE_CHUNK = 128  # fragments DMA'd per step (128*4KB = 512KB buffer)
 
 
 FINE_TB = 8       # gtiles composited per grid step (amortizes step overhead)
+
+_LOG_FLOOR = -30000.0   # stands in for log(0): exp underflows to EXACTLY 0,
+                        # so an opaque fragment fully occludes (the
+                        # _transmittance hard-zero contract of fine_xla);
+                        # matmul-safe, unlike -inf (0 * -inf = NaN).
+
+
+def _step_bounds(lo_ref, hi_ref, step):
+    """(1, TB) i32 lo/hi bound vectors for this step's tiles, built from
+    the SMEM scalars with nested lane selects (a (2, TB) VMEM input would
+    need a 128-divisible lane block)."""
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, FINE_TB), 1)
+    lov = jnp.zeros((1, FINE_TB), jnp.int32)
+    hiv = jnp.zeros((1, FINE_TB), jnp.int32)
+    for t in range(FINE_TB):
+        lov = jnp.where(tcol == t, lo_ref[step * FINE_TB + t], lov)
+        hiv = jnp.where(tcol == t, hi_ref[step * FINE_TB + t], hiv)
+    return lov, hiv
+
+
+def _chunk_masks(cstart, lov, hiv):
+    """Row->tile one-hot O (CHUNK, TB) and strict-upper same-tile mask
+    S (CHUNK, CHUNK) for the chunk starting at global row cstart.
+    lov/hiv: (1, TB) i32 walk bounds of this step's tiles."""
+    rows = (jax.lax.broadcasted_iota(jnp.int32, (FINE_CHUNK, 1), 0)
+            + cstart)
+    o = ((rows >= lov) & (rows < hiv)).astype(jnp.float32)
+    same = jax.lax.dot_general(o, o, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (FINE_CHUNK, FINE_CHUNK), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (FINE_CHUNK, FINE_CHUNK), 1)
+    s = same * (jj > ii).astype(jnp.float32)
+    return o, s
+
+
+def _mask_dot2(mask_bf16, vals_f32, contract):
+    """dot(mask, vals) at ~2^-17 relative accuracy in 2 bf16 MXU passes:
+    the mask is exact 0/1 in bf16; the values split into hi/lo bf16 chunks
+    (lo is the exactly-representable residual), so each product term
+    carries ~16 mantissa bits — far below u8 output quantization (1/255 =
+    2^-8) and 20x tighter than a plain bf16 matmul. Mosaic has no
+    Precision.HIGH, and HIGHEST (6 passes) measured 3.5 ms vs 2.4 ms for
+    the composite at the bench tier."""
+    hi = vals_f32.astype(jnp.bfloat16)
+    lo = (vals_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, lo):
+        d = jax.lax.dot_general(mask_bf16, part,
+                                (((contract,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
+def _composite_chunk(dst, o, s, srcw, logm):
+    """One vectorized composite step: fold a chunk's fragments into the
+    per-tile accumulators. dst (TB, 4, NPX); o (CHUNK, TB); s strict-upper
+    same-tile (CHUNK, CHUNK); srcw (CHUNK, 4*NPX) premultiplied src rows
+    (channel-major quads); logm (CHUNK, NPX) log(1-alpha)."""
+    ob = o.astype(jnp.bfloat16)
+    sb = s.astype(jnp.bfloat16)
+    # suffix log-transmittance per row: sum of logm over LATER same-tile rows
+    suff = _mask_dot2(sb, logm, 1)                           # (CHUNK, NPX)
+    t = jnp.exp(jnp.minimum(suff, 0.0))                      # (CHUNK, NPX)
+    # per-tile partials: P[t] = sum_i o[i,t] * src_i * T_i,
+    # pm[t] = exp(sum_i o[i,t] * logm_i)
+    w = srcw * jnp.concatenate([t, t, t, t], axis=1)         # (CHUNK, 4NPX)
+    p = _mask_dot2(ob, w, 0)                                 # (TB, 4NPX)
+    pml = _mask_dot2(ob, logm, 0)                            # (TB, NPX)
+    pm = jnp.exp(jnp.minimum(pml, 0.0))
+    tb = dst.shape[0]
+    p3 = p.reshape(tb, 4, NPX)
+    return p3 + pm[:, None, :] * dst
 
 
 def _fine_kernel(lo_ref,              # scalar prefetch: (Gpad,) i32 per-tile
@@ -817,53 +897,39 @@ def _fine_kernel(lo_ref,              # scalar prefetch: (Gpad,) i32 per-tile
         win_ref[0] = -1  # no chunk resident
 
     base = base_ref[0, :]
+    lov, hiv = _step_bounds(lo_ref, hi_ref, step)
+    lo = lo_ref[step * FINE_TB]
+    hi = hi_ref[step * FINE_TB + FINE_TB - 1]
+    dst = jnp.broadcast_to(base[None, :, None],
+                           (FINE_TB, 4, NPX)).astype(jnp.float32)
+    # Walk chunk-aligned windows covering the step's whole fragment span.
+    # The resident-window index persists across grid steps (sequential TPU
+    # grid), so consecutive steps sharing a boundary chunk skip the DMA.
+    c0 = lo // FINE_CHUNK
+    c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
 
-    for tt in range(FINE_TB):
-        g = step * FINE_TB + tt
-        lo = lo_ref[g]
-        hi = hi_ref[g]
-        dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
+    def chunk_body(k, dst, c0=c0):
+        cidx = c0 + k
+        cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
 
-        # Walk chunk-aligned windows covering [lo, hi). The resident-window
-        # index persists across grid steps (sequential TPU grid), so
-        # consecutive tiles sharing a window skip the DMA — each fragment
-        # is fetched ~once per frame instead of once per touched tile.
-        c0 = lo // FINE_CHUNK
-        c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
+        @pl.when(win_ref[0] != cidx)
+        def _():
+            cp = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(cstart, FINE_CHUNK)], src_buf, sem)
+            cp.start()
+            cp.wait()
+            win_ref[0] = cidx
 
-        def chunk_body(k, dst, c0=c0, lo=lo, hi=hi):
-            cidx = c0 + k
-            cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
+        o, s = _chunk_masks(cstart, lov, hiv)
+        src = src_buf[...].astype(jnp.float32)        # (CHUNK, 4, NPX)
+        alpha = src[:, 3, :]
+        logm = jnp.maximum(jnp.log(jnp.maximum(1.0 - alpha, 0.0)),
+                           _LOG_FLOOR)
+        srcw = src.reshape(FINE_CHUNK, 4 * NPX)
+        return _composite_chunk(dst, o, s, srcw, logm)
 
-            @pl.when(win_ref[0] != cidx)
-            def _():
-                cp = pltpu.make_async_copy(
-                    src_hbm.at[pl.ds(cstart, FINE_CHUNK)], src_buf, sem)
-                cp.start()
-                cp.wait()
-                win_ref[0] = cidx
-
-            i_lo = jnp.maximum(lo - cstart, 0)
-            i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
-            n2 = (i_hi - i_lo) // 2
-
-            def pair_body(k, dst):
-                i = i_lo + 2 * k
-                s0 = src_buf[i].astype(jnp.float32)   # (4, 256) premul
-                s1 = src_buf[i + 1].astype(jnp.float32)
-                s01 = s1 + s0 * (1.0 - s1[3:4, :])    # s1 over s0
-                return s01 + dst * (1.0 - s01[3:4, :])
-
-            dst = jax.lax.fori_loop(0, n2, pair_body, dst)
-
-            def tail_body(i, dst):
-                src = src_buf[i].astype(jnp.float32)
-                return src + dst * (1.0 - src[3:4, :])
-
-            return jax.lax.fori_loop(i_lo + 2 * n2, i_hi, tail_body, dst)
-
-        dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
-        out_ref[tt] = dst
+    dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
+    out_ref[...] = dst
 
 
 def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
@@ -915,7 +981,10 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
 
 def _los_his(starts, n_gtiles):
     """Normalize (G+1,) contiguous starts or a (los, his) pair into
-    FINE_TB-padded per-tile (los, his) arrays (padded tiles are empty)."""
+    FINE_TB-padded per-tile (los, his) arrays. Padded tiles get
+    lo = hi = his[-1]: empty, AND monotone — the vectorized kernel reads
+    the step's span as [los[first], his[last]], so a zero pad would
+    truncate the last step's real tiles."""
     if isinstance(starts, tuple):
         los, his = starts
     else:
@@ -923,8 +992,9 @@ def _los_his(starts, n_gtiles):
     gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
     if los.shape[0] < gpad:
         pad = gpad - los.shape[0]
-        los = jnp.concatenate([los, jnp.zeros(pad, los.dtype)])
-        his = jnp.concatenate([his, jnp.zeros(pad, his.dtype)])
+        end = his[-1]
+        los = jnp.concatenate([los, jnp.full(pad, end, los.dtype)])
+        his = jnp.concatenate([his, jnp.full(pad, end, his.dtype)])
     return los, his
 
 
@@ -936,7 +1006,7 @@ def _fine_cov_kernel(lo_ref,           # scalar prefetch: (Gpad,) i32
                                        # be 128-lane aligned)
                      base_ref,         # VMEM: (1, 4) f32 premultiplied
                      out_ref,          # VMEM out: (FINE_TB, 4, 256)
-                     cov_buf, col_buf, src_chunk, win_ref, sem, sem2):
+                     cov_buf, col_buf, win_ref, sem, sem2):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -944,64 +1014,43 @@ def _fine_cov_kernel(lo_ref,           # scalar prefetch: (Gpad,) i32
         win_ref[0] = -1
 
     base = base_ref[0, :]
+    lov, hiv = _step_bounds(lo_ref, hi_ref, step)
+    lo = lo_ref[step * FINE_TB]
+    hi = hi_ref[step * FINE_TB + FINE_TB - 1]
+    dst = jnp.broadcast_to(base[None, :, None],
+                           (FINE_TB, 4, NPX)).astype(jnp.float32)
+    c0 = lo // FINE_CHUNK
+    c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
 
-    for tt in range(FINE_TB):
-        g = step * FINE_TB + tt
-        lo = lo_ref[g]
-        hi = hi_ref[g]
-        dst = jnp.broadcast_to(base[:, None], (4, NPX)).astype(jnp.float32)
-        c0 = lo // FINE_CHUNK
-        c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
+    def chunk_body(k, dst, c0=c0):
+        cidx = c0 + k
+        cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
 
-        def chunk_body(k, dst, c0=c0, lo=lo, hi=hi):
-            cidx = c0 + k
-            cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
+        @pl.when(win_ref[0] != cidx)
+        def _():
+            cp = pltpu.make_async_copy(
+                cov_hbm.at[pl.ds(cstart, FINE_CHUNK)], cov_buf, sem)
+            cp.start()
+            cp2 = pltpu.make_async_copy(
+                col_hbm.at[pl.ds(cstart, FINE_CHUNK)], col_buf, sem2)
+            cp2.start()
+            cp.wait()
+            cp2.wait()
+            win_ref[0] = cidx
 
-            @pl.when(win_ref[0] != cidx)
-            def _():
-                cp = pltpu.make_async_copy(
-                    cov_hbm.at[pl.ds(cstart, FINE_CHUNK)], cov_buf, sem)
-                cp.start()
-                cp2 = pltpu.make_async_copy(
-                    col_hbm.at[pl.ds(cstart, FINE_CHUNK)], col_buf, sem2)
-                cp2.start()
-                cp.wait()
-                cp2.wait()
-                # expand color x coverage for the whole chunk, vectorized
-                # per channel (Mosaic's dynamic row reads need a 3D ref);
-                # lowp inputs (bf16) widen to the f32 working chunk here
-                cov = cov_buf[...].astype(jnp.float32)
-                col = col_buf[...].astype(jnp.float32)
-                for c in range(4):
-                    src_chunk[:, c, :] = col[:, c:c + 1] * cov
-                win_ref[0] = cidx
+        o, s = _chunk_masks(cstart, lov, hiv)
+        # color x coverage rows form in registers, never in HBM
+        cov = cov_buf[...].astype(jnp.float32)        # (CHUNK, NPX)
+        col = col_buf[...].astype(jnp.float32)        # (CHUNK, 128)
+        alpha = col[:, 3:4] * cov
+        logm = jnp.maximum(jnp.log(jnp.maximum(1.0 - alpha, 0.0)),
+                           _LOG_FLOOR)
+        srcw = jnp.concatenate([col[:, c:c + 1] * cov for c in range(4)],
+                               axis=1)                # (CHUNK, 4*NPX)
+        return _composite_chunk(dst, o, s, srcw, logm)
 
-            i_lo = jnp.maximum(lo - cstart, 0)
-            i_hi = jnp.minimum(hi - cstart, FINE_CHUNK)
-
-            # src-over is associative: compose PAIRS independently of dst
-            # first, halving the dependent-chain length of this
-            # latency-bound walk.
-            n2 = (i_hi - i_lo) // 2
-
-            def pair_body(k, dst):
-                i = i_lo + 2 * k
-                s0 = src_chunk[i]                         # (4, 256) premul
-                s1 = src_chunk[i + 1]
-                s01 = s1 + s0 * (1.0 - s1[3:4, :])        # s1 over s0
-                return s01 + dst * (1.0 - s01[3:4, :])
-
-
-            dst = jax.lax.fori_loop(0, n2, pair_body, dst)
-
-            def tail_body(i, dst):
-                src = src_chunk[i]
-                return src + dst * (1.0 - src[3:4, :])
-
-            return jax.lax.fori_loop(i_lo + 2 * n2, i_hi, tail_body, dst)
-
-        dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
-        out_ref[tt] = dst
+    dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
+    out_ref[...] = dst
 
 
 def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
@@ -1034,7 +1083,6 @@ def fine_composite_solid_cov(cov_sorted, colors, base_premul, starts,
         scratch_shapes=[
             pltpu.VMEM((FINE_CHUNK, NPX), cov_sorted.dtype),
             pltpu.VMEM((FINE_CHUNK, 128), colors.dtype),
-            pltpu.VMEM((FINE_CHUNK, 4, NPX), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
