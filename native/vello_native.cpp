@@ -196,6 +196,7 @@ extern "C" int vn_estimate(
     const int* path_ix,    // (S,)
     int S, int n_paths,
     int wt1, int ht_tiles, // x-tile clamp [0,wt1]; y-tile clamp [0,ht]
+    double tile_w, double tile_h,  // pixel tile dims (config.py TILE_W/H)
     double tol, int max_lines,
     long long* out,        // [est_lines, est_touches, est_path_tiles,
                            //  est_live]
@@ -203,7 +204,7 @@ extern "C" int vn_estimate(
     double* bbox,          // (n_paths, 4) workspace f64
     float* hmin, float* hmax)  // ((n_paths+1) * (ht+1)) workspaces
 {
-    const double TW = 16.0, TH = 16.0;  // must match encoding/config.py TILE_W/TILE_H
+    const double TW = tile_w, TH = tile_h;
     const int ht1 = ht_tiles + 1;
     long long est_lines = 0;
     double est_touches = 0.0;

@@ -12,6 +12,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 
 def main():
@@ -115,16 +116,10 @@ def main():
     bdr = jax.device_put(np.asarray(prep_bdr(starts, backdrop, rule)))
 
     def time_fn(name, fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        float(np.asarray(out[0, 0] if out.ndim == 2 else out.ravel()[0]))
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        float(np.asarray(out).ravel()[0])  # sync through the tunnel
-        dt = (time.time() - t0) / iters * 1e3
-        print(f"{name:40s} {dt:8.3f} ms")
-        return out, dt
+        from devtime import device_ms
+        dt = device_ms(fn, *args, iters=iters)
+        print(f"{name:40s} {dt:8.3f} ms (device)")
+        return fn(*args), dt
 
     has_eo = bool(np.asarray(rule).any())
     fn0 = jax.jit(lambda tr, bd: msaa_coverage_pallas(

@@ -15,7 +15,15 @@ from dataclasses import dataclass, field
 from typing import Tuple
 
 TILE_W = 16
-TILE_H = 16
+TILE_H = 16  # 16x16-px tiles, like the reference (shared/config.wgsl:45).
+             # 16x8 was fully evaluated in round 4 (the whole pipeline is
+             # tile-size-generic, incl. the C++ estimator): it halves the
+             # msaa kernel's per-sample width (kernel 16.0 -> 12.4 ms at the
+             # bench tier) but costs ~1.45x fragments and ~1.09x touches,
+             # which the fragment-scale stages (assembly gather, fragment
+             # sort, segment_starts merges, backdrop row prefix) turn into a
+             # net LOSS: bench 30.4 fps (16x16) vs 29.8 (16x8), area AA
+             # 33.3 vs 29.3. Revisit only if fragment-scale costs shrink.
 
 # Flattening tolerance in device pixels (sparse-strips uses 0.25,
 # vello_common/src/flatten.rs:16-19; classic uses 0.01 per-segment scaled).

@@ -314,7 +314,7 @@ def _estimate(decoded, transforms, params: RenderParams):
             decoded["points"], kind, decoded["transform"],
             decoded["path_ix"], decoded["n_paths"],
             params.width_tiles + 1, params.height_tiles,
-            FLATTEN_TOL, MAX_LINES_PER_SEG)
+            TILE_W, TILE_H, FLATTEN_TOL, MAX_LINES_PER_SEG)
         if got is not None:
             return got
     # Transform control points.

@@ -50,6 +50,7 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_longlong), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_double),
@@ -112,7 +113,7 @@ def encode_polygons(polys, sizes
 
 
 def estimate(points, kind, tmat, path_ix, n_paths, wt1, ht_tiles,
-             tol, max_lines):
+             tile_w, tile_h, tol, max_lines):
     """C++ capacity estimator (BumpEstimator analog). Returns
     (est_lines, est_touches, est_path_tiles, est_live, rect (P,4) i32)
     or None when the native library is unavailable."""
@@ -135,7 +136,7 @@ def estimate(points, kind, tmat, path_ix, n_paths, wt1, ht_tiles,
         _cptr(pts, ctypes.c_float), _cptr(kd, ctypes.c_int),
         _cptr(tm, ctypes.c_float), _cptr(pix, ctypes.c_int),
         S, int(n_paths), int(wt1), int(ht_tiles),
-        float(tol), int(max_lines),
+        float(tile_w), float(tile_h), float(tol), int(max_lines),
         _cptr(out, ctypes.c_longlong), _cptr(rect, ctypes.c_int),
         _cptr(bbox, ctypes.c_double),
         _cptr(hmin, ctypes.c_float), _cptr(hmax, ctypes.c_float))

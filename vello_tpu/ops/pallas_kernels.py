@@ -117,8 +117,9 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=None):
 # the open fragment across blocks, resolves coverage per fragment row, and
 # maps it back to each fragment's LAST touch row of the (T, 256) output.
 
-CK_M = 120                 # touches per grid step (msaa)
-WF_M = CK_M + 8            # fragment-window rows: touched-fragment ids are
+import os as _os_ck
+CK_M = int(_os_ck.environ.get("VELLO_TPU_CK_M", "120"))  # touches per grid step
+WF_M = ((CK_M + 8 + 7) // 8) * 8  # fragment-window rows: touched-fragment ids are
                            # DENSE ranks in the sorted touch stream, so a
                            # CK-touch block spans <= CK+1 ranks, plus <= 7
                            # rows of align-8 slack on w0: 120+1+7 = 128
@@ -130,24 +131,60 @@ WF_M = CK_M + 8            # fragment-window rows: touched-fragment ids are
 
 
 def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
+                     rl_ref,           # prefetch (G,) i32 rank at each
+                                       # block's LAST row
+                     of_ref,           # prefetch (G,) i32 1 = an open
+                                       # fragment carries into this block
                      trow_hbm,         # VMEM blocked (CK, 8) via in_specs
                      rkis_hbm,         # VMEM blocked (CK, 1): rank*2+islast
                      sxy_ref,          # VMEM (2, ns*256) sample coords
                      bdr_hbm,          # ANY (Fpad, 128) rank-ordered:
                                        # col0 backdrop, col1 rule
                      out_ref,          # out VMEM (CK, 256) bf16
-                     bwin_ref, carry_ref, meta_ref, sem, *, ns,
+                     bwin_ref, carry_ref, sem, *, ns,
                      has_evenodd):
     g = pl.program_id(0)
-    w0 = pl.multiple_of(w0_ref[g], 8)
-    cp = pltpu.make_async_copy(bdr_hbm.at[pl.ds(w0, WF_M)], bwin_ref, sem)
-    cp.start()
+    ng = pl.num_programs(0)
+    # Tier padding is DEAD rows (sorted to the end as dump-tile runs):
+    # blocks past the live prefix skip all math and emit zeros. w0_ref's
+    # extra trailing element carries the live-block count.
+    nlive = w0_ref[ng]
+    live = g < nlive
+    # Double-buffered backdrop-window DMA: each step waits only on the
+    # copy issued a step AHEAD (step 0 issues both), so the per-step DMA
+    # latency overlaps the delta/fold compute instead of serializing it
+    # (the single-buffer wait cost ~1/3 of the kernel at the bench tier).
+    slot = jax.lax.rem(g, 2)
+
+    def bdr_copy(step, buf_slot):
+        w = pl.multiple_of(w0_ref[step], 8)
+        return pltpu.make_async_copy(
+            bdr_hbm.at[pl.ds(w, WF_M)],
+            bwin_ref.at[buf_slot], sem.at[buf_slot])
 
     @pl.when(g == 0)
     def _():
-        meta_ref[0] = 0          # no open fragment
-        meta_ref[1] = 0
+        bdr_copy(0, 0).start()
 
+    @pl.when(g + 1 < nlive)
+    def _():
+        bdr_copy(g + 1, 1 - slot).start()
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_ref[...] = jnp.zeros((CK_M, NPX), jnp.bfloat16)
+
+    @pl.when(live)
+    def _body():
+        _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
+                    out_ref, bwin_ref, carry_ref, g, slot, bdr_copy,
+                    ns=ns, has_evenodd=has_evenodd)
+
+
+def _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
+                out_ref, bwin_ref, carry_ref, g, slot, bdr_copy, *, ns,
+                has_evenodd):
+    w0 = pl.multiple_of(w0_ref[g], 8)
     t = trow_hbm[...]                                   # (CK, 8)
     rkis = rkis_hbm[...]                                # (CK, 1)
     x0 = t[:, 0:1]
@@ -192,39 +229,34 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
         ohT_fold, delta, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (WF, ns*256)
     # carry in the open fragment's partial sums (masked broadcast-add:
-    # exact f32, no matmul)
-    open_f = meta_ref[0]
-    open_id = meta_ref[1]
+    # exact f32, no matmul). The open-fragment id/flag and each block's
+    # closing rank arrive as PREFETCHED SCALARS: deriving them in-kernel
+    # took two masked max-reductions over (CK, 1) columns per step — a
+    # Mosaic 1-lane-reduce relayout pattern that dominated the step time
+    # (measured ~1.3 us/step of width-independent overhead).
+    open_id = rl_ref[jnp.maximum(g - 1, 0)]
     ccol = ((wiota_c == jax.lax.convert_element_type(open_id - w0,
                                                      jnp.float32))
-            & (open_f > 0))                             # (WF, 1) bool
+            & (of_ref[g] > 0))                          # (WF, 1) bool
     # (the open fragment's rank always falls in this window: it is the
     # first touch's fragment, and w0 = align8(rank[g*CK]) <= it)
     acc = acc + jnp.where(ccol, carry_ref[...], 0.0)
     # update the carry with the (possibly still open) last fragment
     # (masked row reduce: exact f32)
-    last_local = jnp.max(jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (CK_M, 1), 0) == CK_M - 1,
-        ftl_col, -jnp.inf))
+    last_local = jax.lax.convert_element_type(rl_ref[g] - w0, jnp.float32)
     carry_ref[...] = jnp.sum(
         jnp.where(wiota_c == last_local, acc, 0.0), axis=0, keepdims=True)
-    last_islast = jnp.max(jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (CK_M, 1), 0) == CK_M - 1,
-        islast, -jnp.inf))
-    meta_ref[0] = (last_islast <= 0.0).astype(jnp.int32)
-    meta_ref[1] = (jax.lax.convert_element_type(last_local, jnp.int32)
-                   + w0)
 
     # resolve coverage per fragment row: + backdrop, fill rule per sample,
     # box average
-    cp.wait()
-    bd = bwin_ref[:, 0:1]                               # (WF, 1)
+    bdr_copy(g, slot).wait()
+    bd = bwin_ref[slot, :, 0:1]                         # (WF, 1)
     w = acc + bd                                        # (WF, ns*256)
     if has_evenodd:
         # even-odd parity needs exact integers beyond bf16's 2^8 range
         filled = jnp.minimum(jnp.abs(w), 1.0)
         eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
-        filled = jnp.where(bwin_ref[:, 1:2] == 1.0, eo, filled)
+        filled = jnp.where(bwin_ref[slot, :, 1:2] == 1.0, eo, filled)
         cov16 = filled.astype(jnp.bfloat16)
     else:
         # nonzero-only resolve in bf16: |w| >= 1 stays >= 1 under bf16
@@ -297,9 +329,21 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
     rkis = (rank.astype(jnp.float32) * 2.0
             + is_last.astype(jnp.float32))[:, None]
     w0s = (rank[::CK_M] // 8) * 8                       # 8-aligned
+    # live-block count: pad rows are dump-tile runs sorted past every real
+    # row, so blocks beyond ceil(n_real/CK) skip all math (8-10% of the
+    # grid is tier padding at typical caps)
+    n_real = jnp.sum((ftcol <= jnp.float32(ft_clip)).astype(jnp.int32))
+    nlive = jnp.clip((n_real + CK_M - 1) // CK_M, 1, t // CK_M)
+    w0s = jnp.concatenate([w0s, nlive[None]])
+    # per-block closing rank + open-fragment flag (prefetched scalars: the
+    # kernel must not re-derive these with 1-lane reductions)
+    rank_last = rank[CK_M - 1::CK_M]                    # (G,)
+    open_f = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),
+        1 - is_last[CK_M - 1::CK_M][:-1].astype(jnp.int32)])
     g = t // CK_M
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((CK_M, 8), lambda i, *_: (i, 0),
@@ -313,10 +357,9 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
         out_specs=pl.BlockSpec((CK_M, NPX), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((WF_M, 128), jnp.float32),
+            pltpu.VMEM((2, WF_M, 128), jnp.float32),
             pltpu.VMEM((1, ns * NPX), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(_msaa_cov_kernel, ns=ns,
@@ -329,7 +372,7 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.bfloat16),
         interpret=interpret,
-    )(w0s, trow, rkis, sxy, bdr)
+    )(w0s, rank_last, open_f, trow, rkis, sxy, bdr)
 
 
 def interpret_default() -> bool:

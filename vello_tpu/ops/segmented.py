@@ -81,10 +81,15 @@ def segment_sum_from_starts(vals: jnp.ndarray, starts: jnp.ndarray
         mask = mask.reshape((-1,) + (1,) * (vals.ndim - 1))
         at = jnp.where(mask, c[idx], 0)
     else:
-        # 1-D gathers lower to the slow T(1024)-layout path on TPU
-        # (~2x a 2-D row gather at the same row count): gather a (N, 1)
-        # view instead
-        at = jnp.where(mask, c[:, None][idx][:, 0], 0)
+        # Narrow-source gathers fall off a cliff once the source has
+        # >= 2^15 sublane tiles (measured: f32 (2^18, 1) rows gather at
+        # ~8.6 ns/row vs 2.7 for the same data packed 8-wide): gather a
+        # ROW-PACKED (N/8, 8) view at idx//8, then one-hot-select idx%8.
+        n = c.shape[0]
+        cp = jnp.pad(c, (0, (-n) % 8)).reshape(-1, 8)
+        g = cp[idx // 8]                               # (Q, 8)
+        sel = (idx % 8)[:, None] == jnp.arange(8, dtype=idx.dtype)[None]
+        at = jnp.where(mask, jnp.sum(jnp.where(sel, g, 0), axis=1), 0)
     return at[1:] - at[:-1]
 
 

@@ -104,7 +104,10 @@ def _msaa_coverage_at(parts, fidx):
     """Assemble coverage rows for fragments fidx from _msaa_coverage_device
     parts with one (N, 2) pack gather + one (N, 256) row gather."""
     out_t, pack = parts
-    pr = pack[fidx]
+    # row-pair-packed gather (see bdpack): dodge the >=2^18-row f32 cliff
+    p4 = pack.reshape(-1, 4)
+    gp = p4[fidx // 2]
+    pr = jnp.where((fidx % 2 == 1)[:, None], gp[:, 2:4], gp[:, 0:2])
     flags = pr[:, 0:1]
     ends = jnp.floor_divide(flags, 4.0)
     has_t = jnp.floor_divide(flags, 2.0) % 2.0
@@ -331,7 +334,13 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     # (backdrop_dyn.wgsl replacement, sharing this stage's tpath/rel).
     row_start = tmrow[:, 2] + (rel // stride) * stride
     cbd = jnp.cumsum(bd_delta)
-    bdpack = jnp.stack([cbd, bd_delta], axis=-1)[row_start]
+    # Row-pair-packed gather: an f32 (F, 2) source at F >= 2^18 rows hits
+    # the slow gather path (~11 ns/row vs 2.9 packed) — gather (F/2, 4)
+    # rows at row_start//2 and select the half (caps are 1024-aligned).
+    bp4 = jnp.stack([cbd, bd_delta], axis=-1).reshape(-1, 4)
+    gp = bp4[row_start // 2]
+    odd = (row_start % 2 == 1)[:, None]
+    bdpack = jnp.where(odd, gp[:, 2:4], gp[:, 0:2])
     backdrop = cbd - bdpack[:, 0] + bdpack[:, 1]
     rule = tmrow[:, 5][:, None]
 
