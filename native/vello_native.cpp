@@ -353,7 +353,12 @@ extern "C" int vn_estimate(
         if (hmax[i] >= hmin[i]) live += (double)(hmax[i] - hmin[i]);
     }
     out[0] = est_lines;
-    out[1] = (long long)est_touches + est_lines / 8 + 64;
+    // Slack covers f32(device)-vs-f64(here) span divergence on lines whose
+    // endpoints sit near tile boundaries (<<1%o of lines in practice) plus
+    // edge-vertical expansion dummies; the old est_lines/8 blanket inflated
+    // every touch-scale device stage by ~8%. Underestimates are safe: the
+    // device overflow flag triggers a retry at the next tier.
+    out[1] = (long long)est_touches + est_lines / 64 + 512;
     out[2] = est_path_tiles;
     out[3] = (long long)live;
     return 0;

@@ -111,11 +111,11 @@ def tier_for(n_tags: int, n_points: int, n_segs: int, est_lines: int,
         n_segs=up(n_segs, 256),
         # n_lines: multiple of 4096 keeps BLK_F | n_lines and the edge cap
         # (n_lines/4) BLK-aligned; n_touches: multiple of
-        # lcm(BLK_X=1024, CK_M=120) = 15360, so the msaa coverage kernel's
+        # lcm(BLK_X=1024, CK_M=128) = 1024, so the msaa coverage kernel's
         # grid divides the cap exactly and its pad-concat of the whole
         # (T, 8) stream disappears.
         n_lines=up_fine(est_lines, 1024, 4096),
-        n_touches=-(-up_fine(est_touches, 2048, 1024) // 15360) * 15360,
+        n_touches=up_fine(est_touches, 2048, 1024),
         n_path_tiles=up_fine(est_path_tiles, 1024, 1024),
         n_paths=up(n_paths, 64),
         n_transforms=up(n_transforms, 64),

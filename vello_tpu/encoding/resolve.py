@@ -349,7 +349,7 @@ def _estimate(decoded, transforms, params: RenderParams):
 
     per_line = span(sx0, sx1) - 1.0 + span(sy0, sy1)
     # viewport clipping can only shrink spans; edge verticals add ≤ span_y
-    est_touches = int(per_line.sum() + len(lines) // 8) + 64
+    est_touches = int(per_line.sum() + len(lines) // 64) + 512
     npts = kind + 1
     # Path-tile rects: per-path clamped bbox of the FLATTENED lines (exact,
     # tighter than the control hull for curves), padded by 0.5 px to cover

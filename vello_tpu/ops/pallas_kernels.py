@@ -118,16 +118,19 @@ def coverage_cumsum_pallas(seg, y_edge, interpret=None):
 # maps it back to each fragment's LAST touch row of the (T, 256) output.
 
 import os as _os_ck
-CK_M = int(_os_ck.environ.get("VELLO_TPU_CK_M", "120"))  # touches per grid step
-WF_M = ((CK_M + 8 + 7) // 8) * 8  # fragment-window rows: touched-fragment ids are
-                           # DENSE ranks in the sorted touch stream, so a
-                           # CK-touch block spans <= CK+1 ranks, plus <= 7
-                           # rows of align-8 slack on w0: 120+1+7 = 128
-                           # EXACTLY — one MXU M-tile and one K-tile for
-                           # the fold matmul, whose WFpad*ns*256 MACs per
-                           # touch are the kernel's MXU floor. CK=120 packs
-                           # the window tighter than the earlier 112
-                           # ((128x128x4096)/CK: 559k vs 599k MACs/touch).
+CK_M = int(_os_ck.environ.get("VELLO_TPU_CK_M", "128"))  # touches per grid step
+WF_M = ((CK_M + 8 + 7) // 8) * 8   # fragment-window rows: touched-fragment
+                           # ids are DENSE ranks in the sorted touch
+                           # stream, so a CK-touch block spans <= CK+1
+                           # ranks, plus <= 7 rows of align-8 slack on w0.
+                           # CK=128 (round 4): the fold matmul turned out
+                           # to be fully HIDDEN under the kernel's VPU
+                           # delta math (bisect: +fold is time-neutral), so
+                           # the old minimize-MACs/touch choice (CK=120,
+                           # WF=128) lost to alignment — 128 divides the
+                           # 1024-quantum caps exactly and keeps the bf16
+                           # out blocks (16,128)-tile aligned (16.0 ->
+                           # 15.6 ms at the bench tier).
 
 
 def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
@@ -259,11 +262,12 @@ def _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
         filled = jnp.where(bwin_ref[slot, :, 1:2] == 1.0, eo, filled)
         cov16 = filled.astype(jnp.bfloat16)
     else:
-        # nonzero-only resolve in bf16: |w| >= 1 stays >= 1 under bf16
-        # rounding however large w gets, so min(|w|,1) in {0,1} is exact —
-        # and the sample sums (<= ns) and 1/ns scale are exact too
-        wb = w.astype(jnp.bfloat16)
-        cov16 = jnp.minimum(jnp.abs(wb), jnp.bfloat16(1))
+        # nonzero-only resolve: winding sums are EXACT f32 integers (bf16
+        # deltas, f32 accumulate), so min(|w|,1) == (w != 0) — one compare
+        # + select instead of the bf16 convert/abs/min chain (-1.2 ms at
+        # the bench tier)
+        cov16 = jnp.where(w != 0.0, jnp.float32(1.0), jnp.float32(0.0)
+                          ).astype(jnp.bfloat16)
     cov = cov16[:, :NPX]
     for s in range(1, ns):
         cov = cov + cov16[:, s * NPX:(s + 1) * NPX]
