@@ -204,6 +204,41 @@ class Encoding:
         self.n_path_segments += n * k
         return n
 
+    def encode_polygons_flat(self, cat: np.ndarray,
+                             sizes: np.ndarray) -> int:
+        """Encode Q closed polygons as Q single-subpath paths in one
+        vectorised append (the stroke-batch analog of encode_path_batch;
+        per-polygon encode_polygons cost ~40 us of Python at mmark scale).
+
+        cat (M, 2) f32 concatenated polygon points (polygon q occupies
+        sizes[q] rows, NOT repeated at the end); sizes (Q,). Each polygon
+        closes with an explicit line back to its first point. Returns Q."""
+        sizes = np.asarray(sizes, dtype=np.int64)
+        q = len(sizes)
+        if q == 0:
+            return 0
+        cat = np.asarray(cat, dtype=np.float32)
+        # tags: per polygon [1]*v with END on the last, then TAG_PATH
+        tags = np.ones(int((sizes + 1).sum()), dtype=np.int64)
+        tends = np.cumsum(sizes + 1) - 1
+        tags[tends - 1] |= TAG_END_BIT
+        tags[tends] = TAG_PATH
+        # data: per polygon its v points + the first point again (the
+        # closing line's endpoint, consumed by the end bit)
+        offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        data = np.empty((int(sizes.sum()) + q, 2), dtype=np.float32)
+        dstarts = offs + np.arange(q)
+        dends = dstarts + sizes
+        data[dends] = cat[offs]
+        mask = np.ones(len(data), dtype=bool)
+        mask[dends] = False
+        data[mask] = cat
+        self.path_tags.extend(tags.tolist())
+        self.path_data.extend(data.reshape(-1).tolist())
+        self.n_paths += q
+        self.n_path_segments += int(sizes.sum())
+        return q
+
     def append(self, other: "Encoding", transform: Affine = None) -> None:
         """Append another encoding, optionally rebasing its transforms
         (``encoding.rs:94-174``)."""

@@ -224,33 +224,85 @@ def mmark(complexity: int = 1, size: float = 1024.0,
     complexity n => ~n*1000 curved stroked path elements grouped into
     multi-segment paths, mixed quads/cubics/lines, varying widths.
     """
-    n_elems = complexity * 1000
+    n = complexity * 1000
     rng = np.random.default_rng(seed)
     s = Scene()
-    width, height = size, size * 0.75
-    gp = rng.uniform([0, 0], [width, height], size=(2,))
-    SEGS_PER_PATH = 8
-    i = 0
-    while i < n_elems:
-        p = BezPath().move_to(*gp)
-        cnt = min(SEGS_PER_PATH, n_elems - i)
-        for _ in range(cnt):
-            kind = rng.integers(0, 3)
-            q = rng.uniform([0, 0], [width, height], size=(3, 2))
-            if kind == 0:
-                p.line_to(*q[0])
-                gp = q[0]
-            elif kind == 1:
-                p.quad_to(*q[0], *q[1])
-                gp = q[1]
-            else:
-                p.curve_to(*q[0], *q[1], *q[2])
-                gp = q[2]
-        i += cnt
-        c = COLORS[int(rng.integers(0, 12))].with_alpha(0.7)
-        w = float(rng.uniform(1.0, 6.0))
-        s.stroke(Stroke(width=w, join="bevel", start_cap="butt",
-                        end_cap="butt"), Affine.identity(), c, None, p)
+    scale = size / 1600.0
+    # Grid random walk over an 80x40 lattice with ~1-4-cell hops
+    # (mmark.rs GridPoint::random_point + OFFSETS), triangle-folded into
+    # the grid instead of boundary-reflected (statistically equivalent).
+    GW, GH = 80, 40
+    sx = 1600.0 / (GW + 1) * scale
+    sy = 900.0 / (GH + 1) * scale
+    OFF = np.array([(-4, 0), (2, 0), (1, -2), (1, 2)], dtype=np.int64)
+    steps = OFF[rng.integers(0, 4, size=2 * n + 4)]
+    walk = np.cumsum(steps, axis=0) + np.array([GW // 2, GH // 2])
+
+    def fold(v, m):
+        v = np.abs(v) % (2 * m)
+        return np.where(v > m, 2 * m - v, v)
+
+    chain = np.stack([(fold(walk[:, 0], GW) + 0.5) * sx,
+                      100.0 * scale + (fold(walk[:, 1], GH) + 0.5) * sy],
+                     axis=-1)                          # (2n+4, 2)
+    # element s spans chain[2s] -> chain[2s+2]; interior chain points act
+    # as control points. seg_type per mmark.rs: 0-1 line, 2 quad, 3 cubic.
+    i0 = 2 * np.arange(n)
+    p0, pm, p1, pq = chain[i0], chain[i0 + 1], chain[i0 + 2], chain[i0 + 3]
+    st = rng.integers(0, 4, size=n)
+    is_line = (st < 2)[:, None]
+    is_quad = (st == 2)[:, None]
+    # exact elevation to cubics
+    c1 = np.where(is_line, p0 + (p1 - p0) / 3.0,
+                  np.where(is_quad, p0 + 2.0 / 3.0 * (pm - p0), pm))
+    c2 = np.where(is_line, p0 + 2.0 / 3.0 * (p1 - p0),
+                  np.where(is_quad, p1 + 2.0 / 3.0 * (pm - p1), pq))
+    # split elements into paths (mmark.rs is_split: ~Bernoulli(1/2) =>
+    # geometric path lengths, mean ~2 elements)
+    split = rng.random(n) < 0.5
+    split[-1] = True
+    first = np.concatenate([[True], split[:-1]])
+    pid = np.cumsum(first) - 1
+    n_paths = int(pid[-1]) + 1
+    plen = np.bincount(pid, minlength=n_paths)
+    # per-PATH style (mmark.rs: width = u^5 * 20 + 1, 7-color palette)
+    widths = (rng.random(n_paths) ** 5 * 20.0 + 1.0) * scale
+    pal = np.asarray([(0x10, 0x10, 0x10), (0x80, 0x80, 0x80),
+                      (0xc0, 0xc0, 0xc0), (0x10, 0x10, 0x10),
+                      (0x80, 0x80, 0x80), (0xc0, 0xc0, 0xc0),
+                      (0xe0, 0x10, 0x40)], dtype=np.float32) / 255.0
+    cols = np.concatenate([pal[rng.integers(0, 7, size=n_paths)],
+                           np.ones((n_paths, 1), np.float32)], axis=1)
+    # bucket paths by pow2 element count; pad with repeated-endpoint
+    # degenerate cubics (the expander's dedup drops them)
+    style = Stroke(width=1.0, join="bevel", start_cap="butt",
+                   end_cap="butt")
+    starts_of = np.concatenate([[0], np.cumsum(plen)[:-1]])
+    kmax = int(plen.max())
+    k = 1
+    while k < kmax or k == 1:
+        sel = np.nonzero((plen > k // 2) & (plen <= k))[0] if k > 1 \
+            else np.nonzero(plen == 1)[0]
+        k_next = k * 2
+        if len(sel):
+            nb = len(sel)
+            # gather each path's elements, padded to k by repeating the
+            # last element's endpoint as a degenerate cubic
+            eidx = starts_of[sel][:, None] + np.arange(k)[None, :]
+            valid = np.arange(k)[None, :] < plen[sel][:, None]
+            eidx = np.minimum(eidx, (starts_of[sel] + plen[sel] - 1)[:, None])
+            pe = p1[eidx]                              # (nb, k, 2) endpoints
+            pc1 = np.where(valid[..., None], c1[eidx], pe)
+            pc2 = np.where(valid[..., None], c2[eidx], pe)
+            pe = np.where(valid[..., None], pe, pe)
+            trip = np.stack([pc1, pc2, pe], axis=2).reshape(nb, 3 * k, 2)
+            pts = np.concatenate([p0[starts_of[sel]][:, None], trip],
+                                 axis=1)               # (nb, 1+3k, 2)
+            s.stroke_batch(style, Affine.identity(), cols[sel], pts,
+                           widths=widths[sel])
+        if k >= kmax:
+            break
+        k = k_next
     return s
 
 

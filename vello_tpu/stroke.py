@@ -243,7 +243,7 @@ def _cap_points(p: np.ndarray, n: np.ndarray, hw: float, cap: str,
 
 
 def _offset_side_concat(pts: np.ndarray, starts: np.ndarray,
-                        lens: np.ndarray, hw: float, join: str,
+                        lens: np.ndarray, hw, join: str,
                         miter_limit: float, tol: float):
     """_offset_side over MANY concatenated open polylines at once.
 
@@ -252,19 +252,27 @@ def _offset_side_concat(pts: np.ndarray, starts: np.ndarray,
     (out (M, 2), piece_of_out?) as flat points plus per-piece
     (out_offs (P,), out_lens (P,)). One numpy pass replaces P Python calls
     (dash-heavy scenes produce thousands of pieces; per-call overhead was
-    ~0.4 ms/piece)."""
+    ~0.4 ms/piece).
+
+    ``hw`` may be a scalar or a (P,) per-piece half-width array (the batch
+    stroke API expands whole scenes whose widths vary per path)."""
     n = len(pts)
     p_count = len(starts)
     ends = starts + lens                         # exclusive
     d = pts[1:] - pts[:-1]                       # (N-1, 2)
     pid = np.repeat(np.arange(p_count), lens)
     seg_ok = pid[1:] == pid[:-1]                 # real segment slots
+    hw_arr = np.broadcast_to(np.asarray(hw, dtype=np.float64),
+                             (p_count,))
+    hw_v = np.repeat(hw_arr, lens)               # per-vertex half-width
+    hw_s = hw_v[:-1][:, None]                    # per segment-slot
+    hw_j = hw_v[1:-1]                            # per join-vertex
     ln = np.linalg.norm(d, axis=1)
     ln = np.where(ln < 1e-12, 1.0, ln)
     tang = d / ln[:, None]
     nrm = np.stack([tang[:, 1], -tang[:, 0]], axis=-1)
-    a_pts = pts[:-1] + hw * nrm
-    b_pts = pts[1:] + hw * nrm
+    a_pts = pts[:-1] + hw_s * nrm
+    b_pts = pts[1:] + hw_s * nrm
     # joins at vertices interior to a piece: segments i and i+1 both real
     j_ok = seg_ok[:-1] & seg_ok[1:]              # (N-2,)
     t0, t1 = tang[:-1], tang[1:]
@@ -281,19 +289,22 @@ def _offset_side_concat(pts: np.ndarray, starts: np.ndarray,
         nm_len2 = np.einsum("ij,ij->i", nm, nm)
         m_ok = outer & (nm_len2 > 1e-12)
         safe = np.where(nm_len2 > 1e-12, nm_len2, 1.0)
-        m_pts = v + hw * nm * (2.0 / safe)[:, None]
+        m_pts = v + hw_j[:, None] * nm * (2.0 / safe)[:, None]
         m_ok = m_ok & (np.linalg.norm(m_pts - v, axis=1)
-                       <= miter_limit * hw)
+                       <= miter_limit * hw_j)
         jcount = jcount + m_ok.astype(np.int64)
     elif join == "round":
         a0 = np.arctan2(n0[:, 1], n0[:, 0])
         a1 = np.arctan2(n1[:, 1], n1[:, 0])
         sweep = np.mod(a1 - a0 + math.pi, 2.0 * math.pi) - math.pi
-        dtheta = 2.0 * math.acos(max(-1.0, min(1.0, 1.0 - tol / hw))) \
-            if hw > 1e-12 else 1e9
+        dtheta = np.where(
+            hw_j > 1e-12,
+            2.0 * np.arccos(np.clip(1.0 - tol / np.maximum(hw_j, 1e-12),
+                                    -1.0, 1.0)),
+            1e9)
         n_arc = np.maximum(1, np.ceil(
-            np.abs(sweep) / max(dtheta, 1e-3)).astype(np.int64))
-        npts = np.where(outer & (np.abs(sweep) >= 1e-12) & (hw > 1e-12),
+            np.abs(sweep) / np.maximum(dtheta, 1e-3)).astype(np.int64))
+        npts = np.where(outer & (np.abs(sweep) >= 1e-12) & (hw_j > 1e-12),
                         n_arc - 1, 0)
         arc_meta = (a0, sweep, n_arc, npts)
         jcount = jcount + npts
@@ -339,7 +350,8 @@ def _offset_side_concat(pts: np.ndarray, starts: np.ndarray,
             fr = (within + 1) / np.repeat(n_arc[sel], reps)
             ang = np.repeat(a0[sel], reps) + np.repeat(sweep[sel],
                                                        reps) * fr
-            out[base + within] = np.repeat(v[sel], reps, axis=0) + hw * \
+            out[base + within] = np.repeat(v[sel], reps, axis=0) + \
+                np.repeat(hw_j[sel], reps)[:, None] * \
                 np.stack([np.cos(ang), np.sin(ang)], axis=-1)
     out_offs = offs[first_seg]
     nxt = np.concatenate([out_offs[1:], [total]])
@@ -349,30 +361,44 @@ def _offset_side_concat(pts: np.ndarray, starts: np.ndarray,
 def _round_caps_batch(p, nrm, hw, tol):
     """(P, k, 2) round-cap arc points per endpoint — the cap sweep is
     always pi through the tangent direction, so the point count is uniform
-    and the construction rectangular."""
+    and the construction rectangular. ``hw`` scalar or (P,): the point
+    count follows the WIDEST stroke (thin ones just get denser arcs)."""
+    hw = np.broadcast_to(np.asarray(hw, dtype=np.float64), (len(p),))
     t = np.stack([-nrm[:, 1], nrm[:, 0]], axis=-1)
     a0 = np.arctan2(nrm[:, 1], nrm[:, 0])
     amid = np.arctan2(t[:, 1], t[:, 0])
     s = np.mod(amid - a0 + math.pi, 2.0 * math.pi) - math.pi
     a1 = a0 + math.pi * np.where(s >= 0.0, 1.0, -1.0)
-    dtheta = 2.0 * math.acos(max(-1.0, min(1.0, 1.0 - tol / hw))) \
-        if hw > 1e-12 else 1e9
+    hw_max = float(hw.max(initial=0.0))
+    dtheta = 2.0 * math.acos(max(-1.0, min(1.0, 1.0 - tol / hw_max))) \
+        if hw_max > 1e-12 else 1e9
     n = max(1, int(math.ceil(math.pi / max(dtheta, 1e-3))))
     fr = (np.arange(1, n) / n)[None, :]                  # (1, n-1)
     ang = a0[:, None] + (a1 - a0)[:, None] * fr          # (P, n-1)
-    return p[:, None, :] + hw * np.stack(
+    return p[:, None, :] + hw[:, None, None] * np.stack(
         [np.cos(ang), np.sin(ang)], axis=-1)
 
 
-def stroke_open_pieces_flat(cat, sizes, style: Stroke, tol: float):
+def stroke_open_pieces_flat(cat, sizes, style: Stroke, tol: float,
+                            widths=None):
     """Expand MANY open polylines (dash output) into outline polygons,
-    fully flat: (cat (N,2), sizes (P,)) in, (outline_cat, outline_sizes)
-    out. No per-piece Python anywhere — dedup, both offset sides, and the
-    (rectangular) caps are single numpy passes."""
-    hw = style.width / 2.0
+    fully flat: (cat (N,2), sizes (P,)) in, (outline_cat, outline_sizes,
+    piece_of) out. No per-piece Python anywhere — dedup, both offset
+    sides, and the (rectangular) caps are single numpy passes.
+
+    ``widths``: optional (P,) per-piece stroke widths overriding
+    style.width (the whole-scene batch stroke path)."""
     n = len(cat)
-    if n == 0 or hw <= 0:
-        return np.zeros((0, 2)), np.zeros(0, np.int64)
+    if widths is None:
+        hw = style.width / 2.0
+        if n == 0 or hw <= 0:
+            return np.zeros((0, 2)), np.zeros(0, np.int64), \
+                np.zeros(0, np.int64)
+    else:
+        hw = np.asarray(widths, dtype=np.float64) / 2.0
+        if n == 0:
+            return np.zeros((0, 2)), np.zeros(0, np.int64), \
+                np.zeros(0, np.int64)
     cat = np.asarray(cat, dtype=np.float64)
     sizes = np.asarray(sizes, dtype=np.int64)
     pid = np.repeat(np.arange(len(sizes)), sizes)
@@ -381,11 +407,16 @@ def stroke_open_pieces_flat(cat, sizes, style: Stroke, tol: float):
     keep = np.concatenate([[True], (pid[1:] != pid[:-1]) | (d > 1e-9)])
     newsizes = np.bincount(pid[keep], minlength=len(sizes))
     ok = newsizes >= 2
+    if widths is not None:
+        ok = ok & (hw > 0)
+        hw = hw[ok]
     pkeep = keep & ok[pid]
     cat = cat[pkeep]
+    piece_of = np.nonzero(ok)[0]
     lens = newsizes[ok].astype(np.int64)
     if not len(lens):
-        return np.zeros((0, 2)), np.zeros(0, np.int64)
+        return np.zeros((0, 2)), np.zeros(0, np.int64), \
+            np.zeros(0, np.int64)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     fwd, f_offs, f_lens = _offset_side_concat(
         cat, starts, lens, hw, style.join, style.miter_limit, tol)
@@ -402,14 +433,17 @@ def stroke_open_pieces_flat(cat, sizes, style: Stroke, tol: float):
     d_st /= np.maximum(np.linalg.norm(d_st, axis=1), 1e-12)[:, None]
     n_st = np.stack([d_st[:, 1], -d_st[:, 0]], axis=-1)
 
+    hw_p = np.broadcast_to(np.asarray(hw, dtype=np.float64),
+                           (len(lens),))[:, None]        # (P, 1)
+
     def caps_rect(kind, p, nrm):
         if kind == "butt":
             return np.zeros((len(p), 0, 2))
         if kind == "square":
             t = np.stack([-nrm[:, 1], nrm[:, 0]], axis=-1)
-            return np.stack([p + hw * nrm + hw * t,
-                             p - hw * nrm + hw * t], axis=1)
-        return _round_caps_batch(p, nrm, hw, tol)
+            return np.stack([p + hw_p * nrm + hw_p * t,
+                             p - hw_p * nrm + hw_p * t], axis=1)
+        return _round_caps_batch(p, nrm, hw_p[:, 0], tol)
 
     ec = caps_rect(style.end_cap, cat[ends - 1], n_end)   # (P, ke, 2)
     sc = caps_rect(style.start_cap, cat[starts], n_st)    # (P, ks, 2)
@@ -439,7 +473,7 @@ def stroke_open_pieces_flat(cat, sizes, style: Stroke, tol: float):
         dst = out_offs + f_lens + ke + b_lens
         idx = dst[:, None] + np.arange(ks)[None, :]
         out[idx.ravel()] = sc.reshape(-1, 2)
-    return out, out_sizes
+    return out, out_sizes, piece_of
 
 
 def stroke_open_pieces_batch(pieces: List[np.ndarray], style: Stroke,
@@ -449,8 +483,8 @@ def stroke_open_pieces_batch(pieces: List[np.ndarray], style: Stroke,
     if not pieces:
         return []
     sizes = np.asarray([len(p) for p in pieces], dtype=np.int64)
-    out, osz = stroke_open_pieces_flat(np.concatenate(pieces, axis=0),
-                                       sizes, style, tol)
+    out, osz, _ = stroke_open_pieces_flat(np.concatenate(pieces, axis=0),
+                                          sizes, style, tol)
     offs = np.concatenate([[0], np.cumsum(osz)[:-1]])
     return [out[o:o + s] for o, s in zip(offs, osz)]
 
@@ -494,6 +528,85 @@ def stroke_polyline(poly: np.ndarray, style: Stroke, closed: bool,
     out += list(bwd)
     out += _cap_points(poly[0], n_start, hw, style.start_cap, tol)
     return [np.asarray(out)]
+
+
+def expand_stroke_batch(pts: np.ndarray, widths, style: Stroke,
+                        transform: Affine = Affine.IDENTITY,
+                        tol: float = 0.1):
+    """Whole-scene vectorised stroke expansion: N open cubic paths in ONE
+    numpy pass (no per-path Python). The batch analog of expand_stroke —
+    the role of the reference's in-frame device stroke expansion
+    (flatten.wgsl:328-630): the reference amortizes per-path cost by doing
+    it on the GPU; here the whole scene's strokes amortize into single
+    array passes.
+
+    pts: (N, 1 + 3k, 2) — start point then k cubic segments' control
+    points per path (elevate lines/quads to cubics exactly; see
+    Scene.stroke_batch). widths: scalar or (N,) per-path stroke width.
+    Returns (cat (M, 2) f32, sizes (Q,), path_of (Q,)): closed outline
+    polygons to fill NonZero, tagged with their source path index."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n, p, _ = pts.shape
+    k, rem = divmod(p - 1, 3)
+    if rem or k <= 0:
+        raise ValueError(f"bad batch shape {pts.shape} for cubics")
+    widths = np.broadcast_to(np.asarray(widths, dtype=np.float64), (n,))
+    scale = max(transform.scale_factor(), 1e-12)
+    tol_local = tol / scale
+    hw = widths / 2.0
+    # offset-tolerance subdivision bound (see expand_stroke): per-path
+    # dtheta_max from that path's half-width
+    dtheta_max = np.sqrt(8.0 * tol_local
+                         / np.maximum.reduce([hw, np.full(n, tol_local),
+                                              np.full(n, 1e-12)]))
+    # (N, k, 4, 2) cubic control points
+    c = np.stack([pts[:, 3 * j:3 * j + 4] for j in range(k)], axis=1)
+    c0, c1, c2, c3 = c[:, :, 0], c[:, :, 1], c[:, :, 2], c[:, :, 3]
+    # Wang's bound per cubic (kurbo.wang_cubic_count, vectorised)
+    a = c0 - 2.0 * c1 + c2
+    b = c1 - 2.0 * c2 + c3
+    l = 6.0 * np.maximum(np.hypot(a[..., 0], a[..., 1]),
+                         np.hypot(b[..., 0], b[..., 1]))
+    n_wang = np.ceil(np.sqrt(np.maximum(l, 0.0) / (8.0 * tol_local)))
+    # control-polygon turn bound per cubic (see expand_stroke._turn)
+    d01 = c1 - c0
+    d12 = c2 - c1
+    d23 = c3 - c2
+
+    def _ang(u, v):
+        lu = np.hypot(u[..., 0], u[..., 1])
+        lv = np.hypot(v[..., 0], v[..., 1])
+        dot = (u[..., 0] * v[..., 0] + u[..., 1] * v[..., 1])
+        cosv = np.clip(dot / np.maximum(lu * lv, 1e-300), -1.0, 1.0)
+        return np.where((lu > 1e-12) & (lv > 1e-12), np.arccos(cosv), 0.0)
+
+    turn = _ang(d01, d12) + _ang(d12, d23)                 # (N, k)
+    n_turn = np.ceil(turn / dtheta_max[:, None])
+    cnt = np.maximum(np.maximum(n_wang, n_turn), 1.0).astype(np.int64)
+    # flat evaluation: one t per output point
+    flat_cnt = cnt.reshape(-1)                             # (N*k,)
+    total = int(flat_cnt.sum())
+    cid = np.repeat(np.arange(n * k), flat_cnt)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(flat_cnt)[:-1]]), flat_cnt)
+    t = (within + 1.0) / flat_cnt[cid]
+    fc = c.reshape(n * k, 4, 2)[cid]                       # (T, 4, 2)
+    mt = 1.0 - t
+    pt = (mt * mt * mt)[:, None] * fc[:, 0] \
+        + (3.0 * mt * mt * t)[:, None] * fc[:, 1] \
+        + (3.0 * mt * t * t)[:, None] * fc[:, 2] \
+        + (t * t * t)[:, None] * fc[:, 3]                  # (T, 2)
+    # splice in each path's start point
+    sizes = cnt.sum(axis=1) + 1                            # (N,)
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    cat = np.empty((total + n, 2))
+    cat[offs] = pts[:, 0]
+    mask = np.ones(total + n, dtype=bool)
+    mask[offs] = False
+    cat[mask] = pt
+    out, out_sizes, piece_of = stroke_open_pieces_flat(
+        cat, sizes, style, tol_local, widths=widths)
+    return out, out_sizes, piece_of
 
 
 def expand_stroke(path: BezPath, style: Stroke,
