@@ -138,14 +138,32 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
                                        # block's LAST row
                      of_ref,           # prefetch (G,) i32 1 = an open
                                        # fragment carries into this block
-                     trow_hbm,         # VMEM blocked (CK, 8) via in_specs
-                     rkis_hbm,         # VMEM blocked (CK, 1): rank*2+islast
+                     tpk_hbm,          # VMEM blocked (16, CK): TRANSPOSED
+                                       # touch pack — rows 0-7 payload
+                                       # fields, row 8 rank*2+islast
                      sxy_ref,          # VMEM (2, ns*256) sample coords
                      bdr_hbm,          # ANY (Fpad, 128) rank-ordered:
                                        # col0 backdrop, col1 rule
                      out_ref,          # out VMEM (CK, 256) bf16
                      bwin_ref, carry_ref, sem, *, ns,
                      has_evenodd):
+    """Fragment-window MSAA coverage, VMEM-pass-minimized (round 4).
+
+    The round-3 kernel was bound by full-width VMEM passes, not ALU ops
+    (measured ablation, tools/ablate_msaa.py @ the bench tier: block IO
+    4.0 ms from 32-byte strided row DMAs of the lane-padded (T, 8) input,
+    carry select+add 3.0, multi-pass resolve 4.2, delta math only 0.8).
+    Three structural changes:
+      * the touch block arrives TRANSPOSED (16, CK) — one contiguous
+        8 KB DMA instead of CK strided 32 B reads — and is transposed
+        back in-register (one (16,128) relayout, ~0.2 us/step);
+      * the open-fragment carry rides the FOLD matmul: the carry row
+        (exact 2-way bf16 split) appends to the delta scratch, the
+        window one-hot gains a carry row and an extraction COLUMN whose
+        dot output IS the next carry — no full-width select/add passes;
+      * the resolve walks ns (WF, 256) slices accumulating coverage in
+        registers — acc streams through VMEM once, not 3-4 times.
+    """
     g = pl.program_id(0)
     ng = pl.num_programs(0)
     # Tier padding is DEAD rows (sorted to the end as dump-tile runs):
@@ -155,8 +173,7 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
     live = g < nlive
     # Double-buffered backdrop-window DMA: each step waits only on the
     # copy issued a step AHEAD (step 0 issues both), so the per-step DMA
-    # latency overlaps the delta/fold compute instead of serializing it
-    # (the single-buffer wait cost ~1/3 of the kernel at the bench tier).
+    # latency overlaps the delta/fold compute instead of serializing it.
     slot = jax.lax.rem(g, 2)
 
     def bdr_copy(step, buf_slot):
@@ -168,6 +185,8 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
     @pl.when(g == 0)
     def _():
         bdr_copy(0, 0).start()
+        # block 0 reads the carry before anything wrote it
+        carry_ref[...] = jnp.zeros_like(carry_ref)
 
     @pl.when(g + 1 < nlive)
     def _():
@@ -179,22 +198,22 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
 
     @pl.when(live)
     def _body():
-        _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
-                    out_ref, bwin_ref, carry_ref, g, slot, bdr_copy,
-                    ns=ns, has_evenodd=has_evenodd)
+        _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
+                    out_ref, bwin_ref, carry_ref, g, slot,
+                    bdr_copy, ns=ns, has_evenodd=has_evenodd)
 
 
-def _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
-                out_ref, bwin_ref, carry_ref, g, slot, bdr_copy, *, ns,
+def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
+                bwin_ref, carry_ref, g, slot, bdr_copy, *, ns,
                 has_evenodd):
     w0 = pl.multiple_of(w0_ref[g], 8)
-    t = trow_hbm[...]                                   # (CK, 8)
-    rkis = rkis_hbm[...]                                # (CK, 1)
-    x0 = t[:, 0:1]
-    y0 = t[:, 1:2]
-    x1 = t[:, 2:3]
-    y1 = t[:, 3:4]
-    ye = t[:, 4:5]
+    tt = jnp.transpose(tpk_hbm[...], (1, 0))           # (CK, 16)
+    x0 = tt[:, 0:1]
+    y0 = tt[:, 1:2]
+    x1 = tt[:, 2:3]
+    y1 = tt[:, 3:4]
+    ye = tt[:, 4:5]
+    rkis = tt[:, 8:9]
     rankf = jnp.floor(rkis * 0.5)                       # (CK, 1)
     islast = rkis - 2.0 * rankf                         # 1.0 at run ends
     dx = x1 - x0
@@ -204,11 +223,12 @@ def _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
     inv_dy = 1.0 / jnp.where(dy == 0.0, 1.0, dy)
     sgn = jnp.where(dy > 0.0, -1.0, 1.0)
     sgn_dx = jnp.sign(dx)
-    # one vectorized (CK, ns*256) pass: column s*256+px is sample s of
-    # pixel px; sample coordinates ride two constant input rows.
+    # one vectorized (CK, ns*256) chain: column s*256+px is sample s of
+    # pixel px; sample coordinates ride two constant input rows. The
+    # whole chain is ONE register pass ending in the scratch write.
     # (bf16 selects here trip a Mosaic i1-relayout error — the masks come
     # from f32 compares in (8,128) layout, bf16 operands need (16,128) —
-    # so the deltas stay f32 and convert once at the fold.)
+    # so the deltas stay f32 and convert once at the write.)
     sxc = sxy_ref[0:1, :]                               # (1, ns*256)
     syc = sxy_ref[1:2, :]
     crossing = (syc >= ymin) & (syc < ymax)
@@ -218,67 +238,70 @@ def _msaa_block(w0_ref, rl_ref, of_ref, trow_hbm, rkis_hbm, sxy_ref,
              + jnp.where(syc >= ye, sgn_dx, 0.0)
              ).astype(jnp.bfloat16)                     # (CK, ns*256)
 
-    # fold into the fragment window (one-hot bf16 matmul, exact for the
-    # small-integer deltas; f32 accumulate). The one-hot is built in the
-    # (CK, WF) orientation and the fold contracts dim 0 of both operands.
+    # ONE fold matmul does window-fold + next-carry extraction: columns
+    # 0..WF are the window rows; column WF matches the block's CLOSING
+    # fragment, so its dot output is that fragment's delta sum — the old
+    # separate M=1 carry matmul and the full-width acc select/add passes
+    # (measured +3.0 ms at the bench tier) disappear. The INCOMING carry
+    # is applied later, inside the resolve's register pass.
     w0f = jax.lax.convert_element_type(w0, jnp.float32)
     ftl_col = rankf - w0f                               # (CK, 1)
+    open_id = rl_ref[jnp.maximum(g - 1, 0)]
+    last_f = jax.lax.convert_element_type(rl_ref[g] - w0, jnp.float32)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, WF_M + 8), 1)
+    wcols = jnp.where(ciota < WF_M, ciota.astype(jnp.float32),
+                      jnp.where(ciota == WF_M, last_f, -3.0))
+    oh_ext = (ftl_col == wcols).astype(jnp.bfloat16)    # (CK, WF+8)
+    full = jax.lax.dot_general(
+        oh_ext, delta, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (WF+8, ns*256)
+    c = carry_ref[...]                                  # (1, ns*256) f32
+    keep = (of_ref[g] > 0) & (open_id == rl_ref[g])
+    carry_ref[...] = full[WF_M:WF_M + 1, :] \
+        + jnp.where(keep, c, 0.0)
+    # the open fragment's window row (-1 matches nothing when closed)
+    open_fs = jax.lax.convert_element_type(
+        jnp.where(of_ref[g] > 0, open_id - w0, -1), jnp.float32)
     wiota_c = jax.lax.broadcasted_iota(
         jnp.int32, (WF_M, 1), 0).astype(jnp.float32)    # (WF, 1)
-    wiota_r = jax.lax.broadcasted_iota(
-        jnp.int32, (1, WF_M), 1).astype(jnp.float32)    # (1, WF)
-    ohT_fold = (ftl_col == wiota_r).astype(jnp.bfloat16)   # (CK, WF)
-    acc = jax.lax.dot_general(
-        ohT_fold, delta, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (WF, ns*256)
-    # carry in the open fragment's partial sums (masked broadcast-add:
-    # exact f32, no matmul). The open-fragment id/flag and each block's
-    # closing rank arrive as PREFETCHED SCALARS: deriving them in-kernel
-    # took two masked max-reductions over (CK, 1) columns per step — a
-    # Mosaic 1-lane-reduce relayout pattern that dominated the step time
-    # (measured ~1.3 us/step of width-independent overhead).
-    open_id = rl_ref[jnp.maximum(g - 1, 0)]
-    ccol = ((wiota_c == jax.lax.convert_element_type(open_id - w0,
-                                                     jnp.float32))
-            & (of_ref[g] > 0))                          # (WF, 1) bool
-    # (the open fragment's rank always falls in this window: it is the
-    # first touch's fragment, and w0 = align8(rank[g*CK]) <= it)
-    acc = acc + jnp.where(ccol, carry_ref[...], 0.0)
-    # update the carry with the (possibly still open) last fragment
-    # (masked row reduce: exact f32)
-    last_local = jax.lax.convert_element_type(rl_ref[g] - w0, jnp.float32)
-    carry_ref[...] = jnp.sum(
-        jnp.where(wiota_c == last_local, acc, 0.0), axis=0, keepdims=True)
+    crow = wiota_c == open_fs                           # (WF, 1) bool
 
-    # resolve coverage per fragment row: + backdrop, fill rule per sample,
-    # box average
+    # resolve coverage per fragment row: + carry-in + backdrop, fill
+    # rule per sample, box average — sliced (WF, 256) at a time so the
+    # fold output streams through VMEM once instead of 3-4 full passes
     bdr_copy(g, slot).wait()
     bd = bwin_ref[slot, :, 0:1]                         # (WF, 1)
-    w = acc + bd                                        # (WF, ns*256)
     if has_evenodd:
-        # even-odd parity needs exact integers beyond bf16's 2^8 range
-        filled = jnp.minimum(jnp.abs(w), 1.0)
-        eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
-        filled = jnp.where(bwin_ref[slot, :, 1:2] == 1.0, eo, filled)
-        cov16 = filled.astype(jnp.bfloat16)
-    else:
-        # nonzero-only resolve: winding sums are EXACT f32 integers (bf16
-        # deltas, f32 accumulate), so min(|w|,1) == (w != 0) — one compare
-        # + select instead of the bf16 convert/abs/min chain (-1.2 ms at
-        # the bench tier)
-        cov16 = jnp.where(w != 0.0, jnp.float32(1.0), jnp.float32(0.0)
-                          ).astype(jnp.bfloat16)
-    cov = cov16[:, :NPX]
-    for s in range(1, ns):
-        cov = cov + cov16[:, s * NPX:(s + 1) * NPX]
-    cov = cov * jnp.bfloat16(1.0 / ns)
+        rule = bwin_ref[slot, :, 1:2]
+    # (column slices of the 1-row replicated carry at lane offsets >= 128
+    # trip a Mosaic layout bug when broadcast — reshape to (ns, NPX) so
+    # each per-sample slice is a sublane slice at lane offset 0)
+    c2 = c.reshape(ns, NPX)
+    cov = None
+    for s in range(ns):
+        w = full[:WF_M, s * NPX:(s + 1) * NPX] + bd     # (WF, 256)
+        w = w + jnp.where(crow, c2[s:s + 1, :], 0.0)
+        if has_evenodd:
+            # even-odd parity needs exact integers beyond bf16's range
+            filled = jnp.minimum(jnp.abs(w), 1.0)
+            eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
+            cs = jnp.where(rule == 1.0, eo, filled)
+        else:
+            # nonzero-only: winding sums are EXACT f32 integers, so
+            # min(|w|,1) == (w != 0)
+            cs = jnp.where(w != 0.0, jnp.float32(1.0), jnp.float32(0.0))
+        cov = cs if cov is None else cov + cs
+    cov = (cov * jnp.float32(1.0 / ns)).astype(jnp.bfloat16)  # (WF, 256)
 
     # back-map each finished fragment's coverage to its LAST touch row.
     # cov values are k/ns sums: exact in bf16, so a single-pass bf16
     # selection matmul is lossless — and the OUTPUT stays bf16 (still
     # exact), halving the (T, 256) HBM write and the downstream
     # coverage-assembly gather traffic.
-    ohT = ohT_fold * (islast > 0.0).astype(jnp.bfloat16)   # (CK, WF)
+    wiota_r = jax.lax.broadcasted_iota(
+        jnp.int32, (1, WF_M), 1).astype(jnp.float32)    # (1, WF)
+    ohT = ((ftl_col == wiota_r).astype(jnp.bfloat16)
+           * (islast > 0.0).astype(jnp.bfloat16))       # (CK, WF)
     out = jax.lax.dot_general(
         ohT, cov, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (CK, 256)
@@ -290,14 +313,15 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
     """trow (T, 8) f32 fragment-sorted touch rows [x0,y0,x1,y1,y_edge,_,
     ftile,_]; bdr (Fpad, 128) f32 rank-ordered [backdrop, rule]. Fragment
     ranks and run boundaries derive from the sorted ftile column (payload
-    col 6, carried through the coarse-sort gather for free) as a NARROW
-    (T, 2) [rank, is_last] side table — never spliced into the wide
-    (T, 8) stream (the old full-width concat copied 21 MB/frame; in-kernel
-    sublane rolls on (CK, 1) columns were worse still, +6 ms of Mosaic
-    relayouts). ftile values >= ft_clip (the dump segment) collapse into
-    one trailing run. Returns (T, 256) bf16 (exact: k/ns sums) with each
-    fragment's resolved MSAA coverage at its last touch row (zeros
-    elsewhere). ``has_evenodd=False`` specializes out the even-odd path."""
+    col 6, carried through the coarse-sort gather for free) and ride the
+    TRANSPOSED (16, T) input pack as row 8 — the transposed pack is one
+    dense fused write (the old (T, 8) row-major operand was lane-padded
+    128x: a 0.6 ms layout copy + 32-byte strided block DMAs costing
+    4 ms/frame inside the kernel; the (T, 1) rank column another 0.5 ms).
+    ftile values >= ft_clip (the dump segment) collapse into one trailing
+    run. Returns (T, 256) bf16 (exact: k/ns sums) with each fragment's
+    resolved MSAA coverage at its last touch row (zeros elsewhere).
+    ``has_evenodd=False`` specializes out the even-odd path."""
     interpret = interpret_default() if interpret is None else interpret
     import numpy as _np
 
@@ -329,9 +353,14 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
     is_first = jnp.concatenate([jnp.ones(1, bool), diff])
     is_last = jnp.concatenate([diff, jnp.ones(1, bool)])
     rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    # one packed (T, 1) column: rank*2 + is_last (exact below 2^23 ranks)
+    # packed rank*2 + is_last rides the transposed pack (exact < 2^23)
     rkis = (rank.astype(jnp.float32) * 2.0
-            + is_last.astype(jnp.float32))[:, None]
+            + is_last.astype(jnp.float32))[None, :]     # (1, T)
+    # (16, T) transposed pack: the gather's natural column-major output
+    # bitcasts into rows 0-7, rkis is row 8, rows 9-15 pad (one fused
+    # dense write; every consumer below is lane-major)
+    tpk = jnp.concatenate(
+        [trow.T, rkis, jnp.zeros((7, t), jnp.float32)], axis=0)
     w0s = (rank[::CK_M] // 8) * 8                       # 8-aligned
     # live-block count: pad rows are dump-tile runs sorted past every real
     # row, so blocks beyond ceil(n_real/CK) skip all math (8-10% of the
@@ -350,9 +379,7 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
         num_scalar_prefetch=3,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((CK_M, 8), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CK_M, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((16, CK_M), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, ns * NPX), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -376,7 +403,7 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.bfloat16),
         interpret=interpret,
-    )(w0s, rank_last, open_f, trow, rkis, sxy, bdr)
+    )(w0s, rank_last, open_f, tpk, sxy, bdr)
 
 
 def interpret_default() -> bool:
