@@ -217,6 +217,12 @@ class Encoding:
         q = len(sizes)
         if q == 0:
             return 0
+        if (sizes < 2).any():
+            # sizes==1 would OR the END bit into the previous polygon's
+            # TAG_PATH marker; sizes==0 would wrap tends-1 to the stream
+            # end — both corrupt the tag stream.
+            raise ValueError("encode_polygons_flat: every polygon needs "
+                             ">= 2 points")
         cat = np.asarray(cat, dtype=np.float32)
         # tags: per polygon [1]*v with END on the last, then TAG_PATH
         tags = np.ones(int((sizes + 1).sum()), dtype=np.int64)

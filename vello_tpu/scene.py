@@ -93,6 +93,11 @@ class Scene:
         colors = np.asarray(colors, dtype=np.float32).reshape(-1, 4)
         if colors.shape[0] != np.asarray(pts).shape[0]:
             raise ValueError("colors/pts batch size mismatch")
+        if style.dash_pattern:
+            # dashing needs the per-path host pipeline (Scene.stroke);
+            # silently rendering solid would misreport the style.
+            raise ValueError("stroke_batch does not support dash_pattern; "
+                             "use Scene.stroke per path")
         w = style.width if widths is None else widths
         cat, sizes, path_of = expand_stroke_batch(pts, w, style, transform)
         if not len(sizes):

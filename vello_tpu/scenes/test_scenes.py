@@ -247,6 +247,10 @@ def mmark(complexity: int = 1, size: float = 1024.0,
                      axis=-1)                          # (2n+4, 2)
     # element s spans chain[2s] -> chain[2s+2]; interior chain points act
     # as control points. seg_type per mmark.rs: 0-1 line, 2 quad, 3 cubic.
+    # Deviation from mmark.rs: line elements here span TWO grid hops (the
+    # reference's span one), and the cubic's second control branches off
+    # the endpoint rather than chaining controls — element-length stats
+    # are close but not identical to the reference workload.
     i0 = 2 * np.arange(n)
     p0, pm, p1, pq = chain[i0], chain[i0 + 1], chain[i0 + 2], chain[i0 + 3]
     st = rng.integers(0, 4, size=n)
@@ -280,7 +284,7 @@ def mmark(complexity: int = 1, size: float = 1024.0,
     starts_of = np.concatenate([[0], np.cumsum(plen)[:-1]])
     kmax = int(plen.max())
     k = 1
-    while k < kmax or k == 1:
+    while True:
         sel = np.nonzero((plen > k // 2) & (plen <= k))[0] if k > 1 \
             else np.nonzero(plen == 1)[0]
         k_next = k * 2
@@ -294,7 +298,6 @@ def mmark(complexity: int = 1, size: float = 1024.0,
             pe = p1[eidx]                              # (nb, k, 2) endpoints
             pc1 = np.where(valid[..., None], c1[eidx], pe)
             pc2 = np.where(valid[..., None], c2[eidx], pe)
-            pe = np.where(valid[..., None], pe, pe)
             trip = np.stack([pc1, pc2, pe], axis=2).reshape(nb, 3 * k, 2)
             pts = np.concatenate([p0[starts_of[sel]][:, None], trip],
                                  axis=1)               # (nb, 1+3k, 2)
