@@ -96,8 +96,17 @@ def test_msaa_kernel_matches_xla(ns, seed):
                                  has_evenodd=True, ft_clip=f,
                                  interpret=True)
     assert out_t.dtype == jnp.bfloat16   # k/ns coverage sums: bf16-exact
-    ends = np.maximum(starts[1:] - 1, 0)
-    got = np.asarray(out_t, dtype=np.float32)[ends]
+    # block-region output: fragment f's final coverage sits in its
+    # CLOSING block's region at b_last*WF + rank - align8(first rank of
+    # that block). Every fragment here has >= 1 touch, so rank == fid.
+    from vello_tpu.ops.pallas_kernels import CK_M
+
+    t_last = starts[1:] - 1
+    b_last = t_last // CK_M
+    bidx = np.arange(int(b_last.max()) + 1) * CK_M
+    w0_b = (fid[np.minimum(bidx, len(fid) - 1)] // 8) * 8
+    rows = b_last * WF_M + np.arange(f) - w0_b[b_last]
+    got = np.asarray(out_t, dtype=np.float32)[rows]
     np.testing.assert_allclose(got, np.asarray(ref), rtol=0, atol=1e-5)
 
     # the has_evenodd=False specialization must agree on nonzero-only data
@@ -108,5 +117,5 @@ def test_msaa_kernel_matches_xla(ns, seed):
     out0 = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr0), ns,
                                 has_evenodd=False, ft_clip=f,
                                 interpret=True)
-    np.testing.assert_allclose(np.asarray(out0, dtype=np.float32)[ends],
+    np.testing.assert_allclose(np.asarray(out0, dtype=np.float32)[rows],
                                np.asarray(ref0), rtol=0, atol=1e-5)

@@ -85,8 +85,11 @@ def test_scene_stroke_batch_encodes():
     pts = rng.uniform(10, 200, size=(8, 10, 2))
     colors = rng.uniform(0.2, 1.0, size=(8, 4))
     s = Scene()
+    # host expansion path (device encoding is covered in
+    # tests/test_device_stroke.py)
     s.stroke_batch(Stroke(width=2.0, join="bevel", start_cap="butt",
-                          end_cap="butt"), Affine.identity(), colors, pts)
+                          end_cap="butt"), Affine.identity(), colors, pts,
+                   expand="host")
     assert s.encoding.n_paths == 8
     tags, data, transforms, styles = s.encoding.packed_streams()
     # decodes cleanly and every path closes back to its start

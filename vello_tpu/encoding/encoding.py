@@ -85,6 +85,11 @@ class Encoding:
         self.path_data: List[float] = []       # flat x,y pairs
         self.transforms: List[Tuple[float, ...]] = []
         self.styles: List[int] = []            # fill rule per style entry
+        # stroke half-width per style entry (0.0 = fill). Parallels the
+        # reference's Style stream carrying fill-vs-stroke + line width
+        # (vello_encoding/src/path.rs Style); device-expanded strokes
+        # flatten their centerlines in-frame (flatten.wgsl:328-630 role).
+        self.style_hw: List[float] = []
         self.draws: List[DrawRecord] = []
         self.n_paths = 0
         self.n_path_segments = 0
@@ -106,9 +111,24 @@ class Encoding:
 
     def encode_fill_style(self, fill: Fill) -> None:
         s = int(fill)
-        if self.styles and self.styles[-1] == s:
+        if self.styles and self.styles[-1] == s and self.style_hw[-1] == 0.0:
             return
         self.styles.append(s)
+        self.style_hw.append(0.0)
+        self.path_tags.append(TAG_STYLE)
+
+    def encode_stroke_style(self, width: float) -> None:
+        """Style entry for a DEVICE-expanded stroke: the following paths'
+        centerline segments are offset/joined in the device flatten stage
+        (ops/flatten.py stroke branch) instead of being outlined on the
+        host. Winding rule is NonZero (the quad/bevel union is positively
+        oriented by construction)."""
+        hw = float(width) * 0.5
+        if self.styles and self.styles[-1] == int(Fill.NON_ZERO) \
+                and self.style_hw[-1] == hw:
+            return
+        self.styles.append(int(Fill.NON_ZERO))
+        self.style_hw.append(hw)
         self.path_tags.append(TAG_STYLE)
 
     def encode_path(self, path: BezPath, is_fill: bool = True) -> bool:
@@ -204,6 +224,38 @@ class Encoding:
         self.n_path_segments += n * k
         return n
 
+    def encode_stroke_path_batch(self, pts: np.ndarray,
+                                 widths: np.ndarray) -> int:
+        """N OPEN cubic centerline paths with per-path stroke styles in one
+        vectorised append — the device expands them in-frame (ops/flatten
+        stroke branch; the role of the reference's flatten.wgsl:328-630).
+        Uploading centerlines instead of host-expanded outlines keeps the
+        stream at cubic-segment scale (~16x smaller for stroke-heavy
+        scenes, measured at mmark-30k).
+
+        pts: (N, 1 + 3k, 2) f32 — start point + k cubic segments.
+        widths: (N,) full stroke widths. Returns N."""
+        pts = np.asarray(pts, dtype=np.float32)
+        n, p, _ = pts.shape
+        k, rem = divmod(p - 1, 3)
+        if n == 0 or k <= 0 or rem:
+            raise ValueError(f"bad stroke batch shape {pts.shape}")
+        widths = np.broadcast_to(np.asarray(widths, np.float64), (n,))
+        if (widths <= 0).any():
+            raise ValueError("stroke widths must be positive")
+        # [STYLE, k segments (last carries END), PATH] per path
+        tpl = np.full(k + 2, TAG_CUBIC, dtype=np.int64)
+        tpl[0] = TAG_STYLE
+        tpl[k] |= TAG_END_BIT
+        tpl[k + 1] = TAG_PATH
+        self.path_tags.extend(np.tile(tpl, n).tolist())
+        self.path_data.extend(pts.reshape(-1).tolist())
+        self.styles.extend([int(Fill.NON_ZERO)] * n)
+        self.style_hw.extend((widths * 0.5).tolist())
+        self.n_paths += n
+        self.n_path_segments += n * k
+        return n
+
     def encode_polygons_flat(self, cat: np.ndarray,
                              sizes: np.ndarray) -> int:
         """Encode Q closed polygons as Q single-subpath paths in one
@@ -272,6 +324,7 @@ class Encoding:
         self.path_tags.extend(other.path_tags)
         self.path_data.extend(other.path_data)
         self.styles.extend(other.styles)
+        self.style_hw.extend(other.style_hw)
         self.draws.extend(other.draws)
         self.n_paths += other.n_paths
         self.n_path_segments += other.n_path_segments
@@ -287,6 +340,11 @@ class Encoding:
                       else np.zeros((0, 6), dtype=np.float32))
         styles = np.asarray(self.styles, dtype=np.int32)
         return tags, data, transforms, styles
+
+    def style_hw_array(self) -> np.ndarray:
+        """Per-style-entry stroke half-widths (0 = fill), parallel to the
+        styles stream from packed_streams()."""
+        return np.asarray(self.style_hw, dtype=np.float32)
 
 
 class PathEncoder:
@@ -387,12 +445,17 @@ class PathEncoder:
 
 
 def decode_segments(tags: np.ndarray, data: np.ndarray,
-                    transforms: np.ndarray, styles: np.ndarray):
+                    transforms: np.ndarray, styles: np.ndarray,
+                    style_hw: np.ndarray = None):
     """Host-side (numpy) reference decode of the tag streams.
 
     Returns dict of per-segment arrays: kind (1/2/3), points (S,4,2) padded,
     path_ix, trans_ix, style. Exactly the computation the device performs in
     ops/pathtag.py — used by the oracle and by tests as the golden model.
+
+    style_hw: optional per-style stroke half-widths; adds "hw" (S,) f32
+    (0 = fill) and "join" (S,) i32 (1 when the NEXT segment continues the
+    same subpath — the end bit is unset) to the output.
     """
     tags = tags.astype(np.int64)
     kind = tags & 3
@@ -426,7 +489,7 @@ def decode_segments(tags: np.ndarray, data: np.ndarray,
     s_style = styles[s_style_ix] if len(styles) else np.zeros(n, np.int32)
     tmat = transforms[s_trans] if len(transforms) else \
         np.tile(np.array([1, 0, 0, 1, 0, 0], np.float32), (n, 1))
-    return {
+    out = {
         "kind": s_kind.astype(np.int32),
         "points": pts,
         "path_ix": s_path.astype(np.int32),
@@ -434,3 +497,10 @@ def decode_segments(tags: np.ndarray, data: np.ndarray,
         "fill_rule": s_style.astype(np.int32),
         "n_paths": int(((tags >> 4) & 1).sum()),
     }
+    if style_hw is not None and len(style_hw):
+        out["hw"] = style_hw[s_style_ix].astype(np.float32)
+        out["join"] = (1 - end_bit[sel]).astype(np.int32)
+    else:
+        out["hw"] = np.zeros(n, np.float32)
+        out["join"] = np.zeros(n, np.int32)
+    return out

@@ -76,6 +76,18 @@ class ResolvedScene:
     seg_tmat: np.ndarray = None   # (S, 6) f32 active transform
     seg_path: np.ndarray = None   # (S,) i32 owning path
     seg_kind: np.ndarray = None   # (S,) i32 1=line 2=quad 3=cubic
+    # device stroke expansion (0 everywhere = all fills)
+    seg_hw: np.ndarray = None     # (S,) f32 raw stroke half-width
+    seg_join: np.ndarray = None   # (S,) i32 1 = next segment continues
+    styles_hw: np.ndarray = None  # (Ns,) f32 per-style half-widths
+    has_stroke: bool = False
+    # paths per draw record (batch fills/strokes cover N consecutive
+    # paths with one record; 1 for plain geometric draws, 0 otherwise)
+    draw_path_n: np.ndarray = None  # (D,) i32
+    # per-segment flatten subdivision cap for this frame (>= the default
+    # MAX_LINES_PER_SEG; raised when the estimator detects pathological
+    # segments so the 0.25 px tolerance holds instead of coarsening)
+    max_lines: int = MAX_LINES_PER_SEG
     # resources
     ramps: np.ndarray = None      # (R, 512, 4) straight f32
     atlas: np.ndarray = None      # (Ha, Wa, 4) premultiplied f32
@@ -305,18 +317,30 @@ def _estimate(decoded, transforms, params: RenderParams):
     t = decoded["transform"].astype(np.float64)     # (S, 6)
     n = len(kind)
     if n == 0:
-        return 0, 0, 0, 0, np.zeros((0, 4), np.int32)
+        return 0, 0, 0, 0, np.zeros((0, 4), np.int32), MAX_LINES_PER_SEG
+    hw = decoded.get("hw")
+    any_stroke = hw is not None and len(hw) and (hw > 0).any()
+    # Pathological-segment detection: raise the frame's per-segment cap to
+    # the unclamped Wang bound (device + oracle + this estimator all use
+    # the raised cap, so huge single curves keep the flatten tolerance).
+    from .host_flatten import (elevate_to_cubic, required_max_lines,
+                               transform_points)
+    _tp64 = transform_points(pts, t)
+    _cub64 = elevate_to_cubic(_tp64, kind)
+    max_lines = required_max_lines(_cub64, kind, FLATTEN_TOL)
     from .. import native
-    if native.available():
+    if native.available() and not any_stroke:
         # C++ streaming estimator: same math, none of the numpy
-        # first-touch allocation cost (seconds at mmark-30k scale)
+        # first-touch allocation cost (seconds at mmark-30k scale).
+        # Stroked scenes take the numpy path below (flatten_decoded
+        # mirrors the device stroke expansion).
         got = native.estimate(
             decoded["points"], kind, decoded["transform"],
             decoded["path_ix"], decoded["n_paths"],
             params.width_tiles + 1, params.height_tiles,
-            TILE_W, TILE_H, FLATTEN_TOL, MAX_LINES_PER_SEG)
+            TILE_W, TILE_H, FLATTEN_TOL, max_lines)
         if got is not None:
-            return got
+            return got + (max_lines,)
     # Transform control points.
     x = pts[..., 0] * t[:, None, 0] + pts[..., 1] * t[:, None, 2] + t[:, None, 4]
     y = pts[..., 0] * t[:, None, 1] + pts[..., 1] * t[:, None, 3] + t[:, None, 5]
@@ -329,8 +353,15 @@ def _estimate(decoded, transforms, params: RenderParams):
                              np.hypot(d2[:, 0], d2[:, 1]))
     l = np.where(kind == 3, l_cub, np.where(kind == 2, l_quad, 0.0))
     counts = np.ceil(np.sqrt(l / (8.0 * FLATTEN_TOL)))
-    counts = np.clip(counts, 1, MAX_LINES_PER_SEG).astype(np.int64)
+    counts = np.clip(counts, 1, max_lines).astype(np.int64)
     counts = np.where(kind == 1, 1, counts)
+    if any_stroke:
+        from .host_flatten import STROKE_SLOTS, stroke_mini_counts_np
+        det = t[:, 0] * t[:, 3] - t[:, 1] * t[:, 2]
+        hw_dev = hw.astype(np.float64) * np.sqrt(np.abs(det))
+        m = stroke_mini_counts_np(_cub64, hw_dev, FLATTEN_TOL, max_lines)
+        counts = np.where((hw_dev > 0) & (kind > 0), m * STROKE_SLOTS,
+                          counts)
     est_lines = int(counts.sum())
     # Exact touch counts: actually flatten (same uniform-t math as the
     # device) and evaluate the span arithmetic per line. This keeps the
@@ -425,7 +456,8 @@ def _estimate(decoded, transforms, params: RenderParams):
     np.minimum.at(hmin, key, kx0)
     np.maximum.at(hmax, key, kx1)
     est_live = int(np.maximum(hmax - hmin, 0).sum(where=hmax >= hmin))
-    return est_lines, est_touches, est_path_tiles, est_live, rect
+    return (est_lines, est_touches, est_path_tiles, est_live, rect,
+            max_lines)
 
 
 class Resolver:
@@ -454,8 +486,11 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
                   ramp_cache: "RampCache",
                   atlas: "ImageAtlas") -> ResolvedScene:
     tags, data, transforms, styles = encoding.packed_streams()
-    decoded = decode_segments(tags, data, transforms, styles)
+    styles_hw = encoding.style_hw_array()
+    decoded = decode_segments(tags, data, transforms, styles,
+                              style_hw=styles_hw)
     n_paths = encoding.n_paths
+    has_stroke = bool(len(decoded["hw"]) and (decoded["hw"] > 0).any())
 
     # per-path transform (first segment of each path wins) — one vectorised
     # pass; np.unique(return_index) gives each path's first segment.
@@ -483,6 +518,7 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
 
     draw_kind = np.zeros(max(len(encoding.draws), 1), dtype=np.int32)
     draw_path_ix = np.full(max(len(encoding.draws), 1), -1, dtype=np.int32)
+    draw_path_n = np.zeros(max(len(encoding.draws), 1), dtype=np.int32)
     layers: List[LayerInfo] = []
 
     # Per-path fill rule from the style stream via first segment (same
@@ -517,6 +553,7 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
             p = path_cursor
             path_cursor += nb
             draw_path_ix[d] = p
+            draw_path_n[d] = nb
             paint_kind[p:p + nb] = PAINT_COLOR
             pm = bc.copy()
             pm[:, :3] *= pm[:, 3:4]
@@ -526,6 +563,7 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         p = path_cursor
         path_cursor += 1
         draw_path_ix[d] = p
+        draw_path_n[d] = 1
         tmat = Affine(tuple(float(v) for v in path_tmat[p]))
         brush_t = tmat if rec.brush_transform is None \
             else tmat @ rec.brush_transform
@@ -559,7 +597,8 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
             paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
                                       dtype=np.float32)
 
-    est_lines, est_touches, est_path_tiles, est_live, path_rect = _estimate(
+    (est_lines, est_touches, est_path_tiles, est_live, path_rect,
+     max_lines) = _estimate(
         decoded, transforms, params)
     has_left_edge = _hull_crosses_left_edge(decoded)
     est_edges = 0
@@ -575,7 +614,8 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
     return ResolvedScene(
         tags=tags, data=data, transforms=transforms, styles=styles,
         n_paths=n_paths, n_segs=encoding.n_path_segments,
-        draw_kind=draw_kind, draw_path_ix=draw_path_ix, layers=layers,
+        draw_kind=draw_kind, draw_path_ix=draw_path_ix,
+        draw_path_n=draw_path_n, layers=layers,
         paint_kind=paint_kind, fill_rule=fill_rule, color=color,
         grad_rec=grad_rec, paint_inv=paint_inv, image_rec=image_rec,
         blur_rec=blur_rec, path_kind=path_kind, path_rect=path_rect,
@@ -583,8 +623,12 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         seg_tmat=decoded["transform"].astype(np.float32),
         seg_path=decoded["path_ix"].astype(np.int32),
         seg_kind=decoded["kind"].astype(np.int32),
+        seg_hw=decoded["hw"].astype(np.float32),
+        seg_join=decoded["join"].astype(np.int32),
+        styles_hw=styles_hw.astype(np.float32),
+        has_stroke=has_stroke,
         ramps=ramp_cache.array(), atlas=atlas.array(),
-        est_lines=est_lines, est_touches=est_touches,
+        est_lines=est_lines, est_touches=est_touches, max_lines=max_lines,
         est_path_tiles=est_path_tiles, est_live=est_live,
         est_edges=est_edges, has_left_edge=has_left_edge)
 

@@ -97,9 +97,115 @@ def expand_by_counts(counts, out_size):
     return idx, sub, valid, total
 
 
+def _sel7(e, v0, v1, v2, v3, v4, v5, v6):
+    """7-way select on integer-valued float e in [0, 6]."""
+    lo = jnp.where(e < 0.5, v0, jnp.where(e < 1.5, v1,
+                   jnp.where(e < 2.5, v2, v3)))
+    hi = jnp.where(e < 4.5, v4, jnp.where(e < 5.5, v5, v6))
+    return jnp.where(e < 3.5, lo, hi)
+
+
+def stroke_slot_line(p0x, p0y, p1x, p1y, p2x, p2y, hw, jnx, jny, join,
+                     i, e, m):
+    """Device stroke expansion: line endpoints for output slot (mini i,
+    edge e) of a stroked segment (the in-frame analog of the reference's
+    flatten.wgsl:328-630 stroke path, reformulated as a UNION of
+    positively-oriented pieces so NonZero winding composes robustly).
+
+    Mini-line i runs P0 -> P1 (uniform-t chords of the centerline cubic);
+    each mini emits 7 lines: its offset quad (edges e0-e3: left, end,
+    right-reversed, start) and the bevel triangle at the P1 vertex
+    (e4-e6) filling the outer notch against the NEXT mini's quad. The
+    next direction comes from P2 (chord of mini i+1) inside the segment,
+    or from the precomputed join normal (jnx, jny) — the next SEGMENT's
+    first-chord normal — at the segment boundary when ``join`` is set.
+    All pieces share one orientation sign (quads by construction; the
+    triangle corner order flips with the turn side), so overlaps only
+    deepen winding and the union is exact. Butt caps are free: quad end
+    edges close the swept region.
+
+    Degenerate slots (zero-length minis, no-join segment ends, straight
+    continuations) collapse to zero-length lines culled downstream.
+    Shape-polymorphic: works on (1, B) kernel rows and (L,) XLA arrays.
+    """
+    dx = p1x - p0x
+    dy = p1y - p0y
+    l2 = dx * dx + dy * dy
+    k = hw * jax.lax.rsqrt(jnp.maximum(l2, 1e-24))
+    nx = dy * k
+    ny = -dx * k
+    d2x = p2x - p1x
+    d2y = p2y - p1y
+    l2b = d2x * d2x + d2y * d2y
+    kb = hw * jax.lax.rsqrt(jnp.maximum(l2b, 1e-24))
+    inner = i < m - 0.5
+    n2x = jnp.where(inner, d2y * kb, jnx)
+    n2y = jnp.where(inner, -d2x * kb, jny)
+    has_tri = (inner | (join > 0.5)) & (l2 > 1e-24)
+    # gap side of the vertex: sign(cross(d, d_next)) == sign(dot(d, n2))
+    s = jnp.where(dx * n2x + dy * n2y >= 0.0, 1.0, -1.0)
+    c1x = p1x + s * nx
+    c1y = p1y + s * ny
+    c2x = p1x + s * n2x
+    c2y = p1y + s * n2y
+    # corner order flips with the turn side to keep triangle winding
+    # matching the quads'
+    t1x = jnp.where(s > 0.0, c1x, c2x)
+    t1y = jnp.where(s > 0.0, c1y, c2y)
+    t2x = jnp.where(s > 0.0, c2x, c1x)
+    t2y = jnp.where(s > 0.0, c2y, c1y)
+    t1x = jnp.where(has_tri, t1x, p1x)
+    t1y = jnp.where(has_tri, t1y, p1y)
+    t2x = jnp.where(has_tri, t2x, p1x)
+    t2y = jnp.where(has_tri, t2y, p1y)
+    ax = _sel7(e, p0x + nx, p1x + nx, p1x - nx, p0x - nx, p1x, t1x, t2x)
+    ay = _sel7(e, p0y + ny, p1y + ny, p1y - ny, p0y - ny, p1y, t1y, t2y)
+    bx = _sel7(e, p1x + nx, p1x - nx, p0x - nx, p0x + nx, t1x, t2x, p1x)
+    by = _sel7(e, p1y + ny, p1y - ny, p0y - ny, p0y + ny, t1y, t2y, p1y)
+    # zero-length mini: collapse the whole slot group
+    dead = l2 <= 1e-24
+    ax = jnp.where(dead, p1x, ax)
+    ay = jnp.where(dead, p1y, ay)
+    bx = jnp.where(dead, p1x, bx)
+    by = jnp.where(dead, p1y, by)
+    return ax, ay, bx, by
+
+
+STROKE_SLOTS = 7   # lines per stroke mini: 4 quad edges + 3 triangle edges
+
+
+def stroke_mini_counts(cub, hw_dev, tol=FLATTEN_TOL,
+                       max_lines=MAX_LINES_PER_SEG):
+    """Subdivision count m per stroked segment: Wang's bound on the
+    centerline (chord sagitta <= tol) combined with a turning-angle bound
+    keeping the bevel-corner error of the offset polyline under tol
+    (hw * theta^2 / 8 <= tol per vertex; total turning bounded by the
+    control-polygon exterior angles)."""
+    wang = wang_counts(cub, jnp.full(cub.shape[0], 3, jnp.int32), tol,
+                       max_lines)
+    v0 = cub[:, 1] - cub[:, 0]
+    v1 = cub[:, 2] - cub[:, 1]
+    v2 = cub[:, 3] - cub[:, 2]
+
+    def ang(u, v):
+        cr = jnp.abs(u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0])
+        dt = u[:, 0] * v[:, 0] + u[:, 1] * v[:, 1]
+        lu = jnp.hypot(u[:, 0], u[:, 1])
+        lv = jnp.hypot(v[:, 0], v[:, 1])
+        ok = (lu > 1e-12) & (lv > 1e-12)
+        return jnp.where(ok, jnp.arctan2(cr, dt), 0.0)
+
+    dtheta = ang(v0, v1) + ang(v1, v2)
+    theta_max = jnp.sqrt(8.0 * tol / jnp.maximum(hw_dev, tol))
+    m_turn = jnp.ceil(dtheta / theta_max)
+    return jnp.clip(jnp.maximum(wang, m_turn), 1,
+                    max_lines).astype(jnp.int32)
+
+
 def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
                   n_lines_cap: int, width: float, height: float, rpack,
-                  interpret: bool = None):
+                  seg_hw=None, seg_join=None, interpret: bool = None,
+                  max_lines: int = MAX_LINES_PER_SEG):
     """Fused Pallas flatten over host-compacted segment arrays.
 
     Transform + Wang counts run at segment scale in XLA; the kernel does the
@@ -117,8 +223,38 @@ def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
          + t[:, None, 5])
     tp = jnp.stack([x, y], axis=-1)
     cub = elevate_to_cubic(tp, seg_kind)
-    counts = wang_counts(cub, seg_kind)
+    counts = wang_counts(cub, seg_kind, max_lines=max_lines)
     s = cub.shape[0]
+    has_stroke = seg_hw is not None
+    if has_stroke:
+        # Device stroke expansion: stroked segments emit 7 lines per
+        # centerline mini (offset quad + bevel triangle); the join normal
+        # is the NEXT segment's first-chord normal, computed here at
+        # segment scale so the kernel's corner matches the next quad's.
+        det = t[:, 0] * t[:, 3] - t[:, 1] * t[:, 2]
+        hw_dev = seg_hw * jnp.sqrt(jnp.abs(det))
+        is_stroke = hw_dev > 0.0
+        m = stroke_mini_counts(cub, hw_dev, max_lines=max_lines)
+        m = jnp.where(is_stroke, m, 0)
+        counts = jnp.where(is_stroke, m * STROKE_SLOTS, counts)
+        nxt = jnp.roll(cub, -1, axis=0)
+        nxt_m = jnp.maximum(jnp.roll(m, -1), 1).astype(jnp.float32)
+        tq = (1.0 / nxt_m)[:, None]
+        mt = 1.0 - tq
+        pn = (mt ** 3 * nxt[:, 0] + 3 * mt * mt * tq * nxt[:, 1]
+              + 3 * mt * tq * tq * nxt[:, 2] + tq ** 3 * nxt[:, 3])
+        ch = pn - nxt[:, 0]
+        l2 = ch[:, 0] ** 2 + ch[:, 1] ** 2
+        kj = hw_dev * jax.lax.rsqrt(jnp.maximum(l2, 1e-24))
+        joinf = ((seg_join > 0) & is_stroke
+                 & (l2 > 1e-24)).astype(jnp.float32)
+        jnx = joinf * ch[:, 1] * kj
+        jny = -joinf * ch[:, 0] * kj
+        srows = [hw_dev[None], jnx[None], jny[None],
+                 m.astype(jnp.float32)[None], joinf[None],
+                 jnp.zeros((2, s), jnp.float32)]
+    else:
+        srows = [jnp.zeros((7, s), jnp.float32)]
     counts = jnp.where(jnp.arange(s, dtype=jnp.int32) < n_segs, counts, 0)
     incl = jnp.cumsum(counts)
     total = incl[-1]
@@ -131,8 +267,7 @@ def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
         counts.astype(jnp.float32)[None],
         offs.astype(jnp.float32)[None],
         incl.astype(jnp.float32)[None],
-        rrow.T,
-        jnp.zeros((7, s), jnp.float32)], axis=0)          # (24, S)
+        rrow.T] + srows, axis=0)                          # (24, S)
     spackT = jnp.pad(spackT, ((0, 0), (0, WIN_F)))
     g = n_lines_cap // BLK_F
     qpos = jnp.arange(g, dtype=jnp.int32) * BLK_F
@@ -140,18 +275,24 @@ def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
     s0s = jnp.concatenate([(s0 // 128) * 128,
                            total[None].astype(jnp.int32)])
     linepack = flatten_pallas(spackT, s0s, n_lines_cap, width, height,
-                              interpret=interpret)
+                              has_stroke=has_stroke, interpret=interpret)
     return {"linepack": linepack, "total_lines": total,
             "overflow": overflow}
 
 
 def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
-            width: float, height: float, rpack=None):
+            width: float, height: float, rpack=None,
+            has_stroke: bool = False,
+            max_lines: int = MAX_LINES_PER_SEG):
     """decoded: output of pathtag.decode_and_transform.
 
     rpack: optional (P, 6) f32 per-path tile-rect fields; when given they are
     gathered at segment scale (S rows) and ride the line expansion, so the
     tiling stage needs no per-line gather (returned as line_rect/edge_rect).
+
+    has_stroke (static): decoded carries "hw"/"join" with stroked segments
+    present — enables device stroke expansion (7 slots per centerline
+    mini, see stroke_slot_line).
 
     Returns dict with:
       lines (L, 4) f32   — y-trimmed, x-clamped line soup (x0,y0,x1,y1)
@@ -161,10 +302,32 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
       overflow           — i32 flags
     """
     cub = elevate_to_cubic(decoded["points"], decoded["kind"])
-    counts = wang_counts(cub, decoded["kind"])
+    counts = wang_counts(cub, decoded["kind"], max_lines=max_lines)
+    s = cub.shape[0]
+    if has_stroke:
+        hw_dev = decoded["hw"]
+        is_stroke = (hw_dev > 0.0) & (decoded["kind"] > 0)
+        m = stroke_mini_counts(cub, hw_dev, max_lines=max_lines)
+        m = jnp.where(is_stroke, m, 0)
+        counts = jnp.where(is_stroke, m * STROKE_SLOTS, counts)
+        # join normal = next segment's first-chord normal (within a
+        # subpath, the continuation segment occupies the next tag slot)
+        nxt = jnp.roll(cub, -1, axis=0)
+        nxt_m = jnp.maximum(jnp.roll(m, -1), 1).astype(jnp.float32)
+        tq = (1.0 / nxt_m)[:, None]
+        mtq = 1.0 - tq
+        pn = (mtq ** 3 * nxt[:, 0] + 3 * mtq * mtq * tq * nxt[:, 1]
+              + 3 * mtq * tq * tq * nxt[:, 2] + tq ** 3 * nxt[:, 3])
+        ch = pn - nxt[:, 0]
+        l2j = ch[:, 0] ** 2 + ch[:, 1] ** 2
+        kj = hw_dev * jax.lax.rsqrt(jnp.maximum(l2j, 1e-24))
+        joinf = ((decoded["join"] > 0) & is_stroke
+                 & (l2j > 1e-24)).astype(jnp.float32)
+        stroke_cols = jnp.stack(
+            [hw_dev, joinf * ch[:, 1] * kj, -joinf * ch[:, 0] * kj,
+             m.astype(jnp.float32), joinf], axis=-1)     # (S, 5)
     incl = jnp.cumsum(counts)
     offs = (incl - counts).astype(jnp.float32)
-    s = cub.shape[0]
     # One packed row-gather instead of several scalar gathers (a scalar
     # gather of n_lines_cap indices costs ~7 ms on TPU; a 12-wide row gather
     # costs about the same as one).
@@ -177,11 +340,13 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
     if rpack is not None:
         pclip = jnp.clip(decoded["path_ix"], 0, rpack.shape[0] - 1)
         parts.append(rpack[pclip])              # (S, 6) — S-scale gather
-    pack = jnp.concatenate(parts, axis=-1)      # (S, 11[+6])
+    if has_stroke:
+        parts.append(stroke_cols)
+    pack = jnp.concatenate(parts, axis=-1)      # (S, 11[+6][+5])
     seg_ix, _, valid, total = expand_by_counts(counts, n_lines_cap)
     overflow_lines = (total > n_lines_cap).astype(jnp.int32)
 
-    row = pack[seg_ix]                          # (L, 11)
+    row = pack[seg_ix]                          # (L, 11+)
     c = row[:, :8].reshape(-1, 4, 2)
     n = jnp.maximum(row[:, 8], 1.0)
     sub_f = jnp.arange(n_lines_cap, dtype=jnp.float32) - row[:, 9]
@@ -195,8 +360,29 @@ def flatten(decoded, n_lines_cap: int, n_edge_cap: int,
         return (mt ** 3 * c[:, 0] + 3 * mt * mt * t * c[:, 1]
                 + 3 * mt * t * t * c[:, 2] + t ** 3 * c[:, 3])
 
+    if has_stroke:
+        sbase = pack.shape[1] - 5
+        mrow = row[:, sbase + 3]
+        st = mrow > 0.5
+        msafe = jnp.maximum(mrow, 1.0)
+        si = jnp.floor((sub_f + 0.5) * (1.0 / STROKE_SLOTS))
+        se = sub_f - STROKE_SLOTS * si
+        t0 = jnp.where(st, si / msafe, t0)
+        t1 = jnp.where(st, (si + 1.0) / msafe, t1)
+
     p0 = ev(t0)
     p1 = ev(t1)
+
+    if has_stroke:
+        p2 = ev((si + 2.0) / msafe)
+        ax, ay, bx, by = stroke_slot_line(
+            p0[:, 0], p0[:, 1], p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1],
+            row[:, sbase], row[:, sbase + 1], row[:, sbase + 2],
+            row[:, sbase + 4], si, se, msafe)
+        p0 = jnp.stack([jnp.where(st, ax, p0[:, 0]),
+                        jnp.where(st, ay, p0[:, 1])], axis=-1)
+        p1 = jnp.stack([jnp.where(st, bx, p1[:, 0]),
+                        jnp.where(st, by, p1[:, 1])], axis=-1)
 
     # --- y trim (parametric, exact) ---
     y0, y1 = p0[:, 1], p1[:, 1]

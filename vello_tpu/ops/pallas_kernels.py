@@ -133,7 +133,8 @@ WF_M = ((CK_M + 8 + 7) // 8) * 8   # fragment-window rows: touched-fragment
                            # 15.6 ms at the bench tier).
 
 
-def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
+def _msaa_cov_kernel(w0_ref,           # prefetch (G+1,) i32; only the
+                                       # trailing live-block count is read
                      rl_ref,           # prefetch (G,) i32 rank at each
                                        # block's LAST row
                      of_ref,           # prefetch (G,) i32 1 = an open
@@ -144,36 +145,39 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
                      sxy_ref,          # VMEM (2, ns*256) sample coords
                      bdr_hbm,          # ANY (Fpad, 128) rank-ordered:
                                        # col0 backdrop, col1 rule
-                     out_ref,          # out VMEM (CK, 256) bf16
-                     bwin_ref, carry_ref, sem, *, ns,
+                     out_hbm,          # ANY out (G*WF, 256) bf16,
+                                       # per-block window regions
+                     bwin_ref, carry_ref, cov_ref, sem, osem, *, ns,
                      has_evenodd):
-    """Fragment-window MSAA coverage, VMEM-pass-minimized (round 4).
+    """Fragment-window MSAA coverage (round 5 revision).
 
-    The round-3 kernel was bound by full-width VMEM passes, not ALU ops
-    (measured ablation, tools/ablate_msaa.py @ the bench tier: block IO
-    4.0 ms from 32-byte strided row DMAs of the lane-padded (T, 8) input,
-    carry select+add 3.0, multi-pass resolve 4.2, delta math only 0.8).
-    Three structural changes:
-      * the touch block arrives TRANSPOSED (16, CK) — one contiguous
-        8 KB DMA instead of CK strided 32 B reads — and is transposed
-        back in-register (one (16,128) relayout, ~0.2 us/step);
-      * the open-fragment carry rides the FOLD matmul: the carry row
-        (exact 2-way bf16 split) appends to the delta scratch, the
-        window one-hot gains a carry row and an extraction COLUMN whose
-        dot output IS the next carry — no full-width select/add passes;
-      * the resolve walks ns (WF, 256) slices accumulating coverage in
-        registers — acc streams through VMEM once, not 3-4 times.
+    Structure per round 4 (transposed 8 KB block DMA, one vectorized
+    delta chain, fragment-window fold on the MXU with the outgoing carry
+    riding an extraction column, register-pass resolve) with two round-5
+    changes driven by the ablation (tools/ablate_msaa.py):
+
+    * the output is RANK-indexed: each block DMAs its resolved coverage
+      window directly to rows [first_rank, first_rank + WF) of a
+      fragment-indexed output — rows of still-open fragments are
+      overwritten by the closing block (the sequential grid + chained
+      semaphore ordering make the last write win). This deletes the
+      back-map one-hot matmul (~1.1 ms/frame) and shrinks the HBM write
+      from touch scale to fragment scale (~3.5x at the bench tier).
+      Mosaic requires dynamic slice offsets on TILED memrefs (HBM and
+      VMEM alike) to be provably divisible by the sublane tiling (8),
+      and per-block first ranks are data-dependent — so blocks write
+      their windows to DISJOINT block-indexed regions [g*WF, (g+1)*WF)
+      (statically aligned: 8 | WF) instead of rank offsets, and the
+      assembly gathers fragment f at b_last(f)*WF + rank(f) - w0(b_last)
+      — one gather either way. Rows of fragments still open at a block
+      boundary hold partial sums in that block's region; the gather
+      only ever reads the CLOSING block's region, so no overwrite
+      ordering is needed at all.
     """
     g = pl.program_id(0)
     ng = pl.num_programs(0)
-    # Tier padding is DEAD rows (sorted to the end as dump-tile runs):
-    # blocks past the live prefix skip all math and emit zeros. w0_ref's
-    # extra trailing element carries the live-block count.
     nlive = w0_ref[ng]
     live = g < nlive
-    # Double-buffered backdrop-window DMA: each step waits only on the
-    # copy issued a step AHEAD (step 0 issues both), so the per-step DMA
-    # latency overlaps the delta/fold compute instead of serializing it.
     slot = jax.lax.rem(g, 2)
 
     def bdr_copy(step, buf_slot):
@@ -182,29 +186,42 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G,) i32 aligned win starts
             bdr_hbm.at[pl.ds(w, WF_M)],
             bwin_ref.at[buf_slot], sem.at[buf_slot])
 
+    def out_copy(step):
+        return pltpu.make_async_copy(
+            cov_ref.at[pl.ds(0, WF_M)],
+            out_hbm.at[pl.ds(pl.multiple_of(step * WF_M, 8), WF_M)],
+            osem)
+
     @pl.when(g == 0)
     def _():
         bdr_copy(0, 0).start()
-        # block 0 reads the carry before anything wrote it
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
     @pl.when(g + 1 < nlive)
     def _():
         bdr_copy(g + 1, 1 - slot).start()
 
-    @pl.when(jnp.logical_not(live))
+    # chain the output DMAs: wait the previous block's write before this
+    # block overwrites the cov scratch (at most one outstanding copy)
+    @pl.when((g >= 1) & (g <= nlive))
     def _():
-        out_ref[...] = jnp.zeros((CK_M, NPX), jnp.bfloat16)
+        out_copy(g - 1).wait()
 
     @pl.when(live)
     def _body():
         _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
-                    out_ref, bwin_ref, carry_ref, g, slot,
+                    bwin_ref, carry_ref, cov_ref, g, slot,
                     bdr_copy, ns=ns, has_evenodd=has_evenodd)
+        out_copy(g).start()
+
+    # the final live block's write has no successor to wait on it
+    @pl.when((g == ng - 1) & (g + 1 == nlive))
+    def _():
+        out_copy(g).wait()
 
 
-def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
-                bwin_ref, carry_ref, g, slot, bdr_copy, *, ns,
+def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
+                bwin_ref, carry_ref, cov_ref, g, slot, bdr_copy, *, ns,
                 has_evenodd):
     w0 = pl.multiple_of(w0_ref[g], 8)
     tt = jnp.transpose(tpk_hbm[...], (1, 0))           # (CK, 16)
@@ -215,7 +232,6 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
     ye = tt[:, 4:5]
     rkis = tt[:, 8:9]
     rankf = jnp.floor(rkis * 0.5)                       # (CK, 1)
-    islast = rkis - 2.0 * rankf                         # 1.0 at run ends
     dx = x1 - x0
     dy = y1 - y0
     ymin = jnp.minimum(y0, y1)
@@ -240,10 +256,9 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
 
     # ONE fold matmul does window-fold + next-carry extraction: columns
     # 0..WF are the window rows; column WF matches the block's CLOSING
-    # fragment, so its dot output is that fragment's delta sum — the old
-    # separate M=1 carry matmul and the full-width acc select/add passes
-    # (measured +3.0 ms at the bench tier) disappear. The INCOMING carry
-    # is applied later, inside the resolve's register pass.
+    # fragment, so its dot output is that fragment's delta sum — the
+    # INCOMING carry is applied inside the resolve's register pass.
+    # bf16 output is exact: block sums are integers <= 2*CK = 256.
     w0f = jax.lax.convert_element_type(w0, jnp.float32)
     ftl_col = rankf - w0f                               # (CK, 1)
     open_id = rl_ref[jnp.maximum(g - 1, 0)]
@@ -252,6 +267,9 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
     wcols = jnp.where(ciota < WF_M, ciota.astype(jnp.float32),
                       jnp.where(ciota == WF_M, last_f, -3.0))
     oh_ext = (ftl_col == wcols).astype(jnp.bfloat16)    # (CK, WF+8)
+    # f32 accumulation is a Mosaic requirement (bf16 acc fails TPU
+    # verification: 'Expected matmul acc to be 32-bit'); the sums are
+    # integers <= 2*CK = 256 either way
     full = jax.lax.dot_general(
         oh_ext, delta, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # (WF+8, ns*256)
@@ -279,7 +297,7 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
     c2 = c.reshape(ns, NPX)
     cov = None
     for s in range(ns):
-        w = full[:WF_M, s * NPX:(s + 1) * NPX] + bd     # (WF, 256)
+        w = full[:WF_M, s * NPX:(s + 1) * NPX] + bd
         w = w + jnp.where(crow, c2[s:s + 1, :], 0.0)
         if has_evenodd:
             # even-odd parity needs exact integers beyond bf16's range
@@ -291,21 +309,10 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref, out_ref,
             # min(|w|,1) == (w != 0)
             cs = jnp.where(w != 0.0, jnp.float32(1.0), jnp.float32(0.0))
         cov = cs if cov is None else cov + cs
-    cov = (cov * jnp.float32(1.0 / ns)).astype(jnp.bfloat16)  # (WF, 256)
-
-    # back-map each finished fragment's coverage to its LAST touch row.
-    # cov values are k/ns sums: exact in bf16, so a single-pass bf16
-    # selection matmul is lossless — and the OUTPUT stays bf16 (still
-    # exact), halving the (T, 256) HBM write and the downstream
-    # coverage-assembly gather traffic.
-    wiota_r = jax.lax.broadcasted_iota(
-        jnp.int32, (1, WF_M), 1).astype(jnp.float32)    # (1, WF)
-    ohT = ((ftl_col == wiota_r).astype(jnp.bfloat16)
-           * (islast > 0.0).astype(jnp.bfloat16))       # (CK, WF)
-    out = jax.lax.dot_general(
-        ohT, cov, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (CK, 256)
-    out_ref[...] = out.astype(jnp.bfloat16)
+    # rank-indexed rows: still-open fragments' rows are partial here and
+    # get overwritten by the closing block's window write
+    cov_ref[0:WF_M, :] = (cov * jnp.float32(1.0 / ns)
+                          ).astype(jnp.bfloat16)        # (WF, 256)
 
 
 def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
@@ -319,9 +326,17 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
     128x: a 0.6 ms layout copy + 32-byte strided block DMAs costing
     4 ms/frame inside the kernel; the (T, 1) rank column another 0.5 ms).
     ftile values >= ft_clip (the dump segment) collapse into one trailing
-    run. Returns (T, 256) bf16 (exact: k/ns sums) with each fragment's
-    resolved MSAA coverage at its last touch row (zeros elsewhere).
+    run. Returns (G*WF, 256) bf16 (exact: k/ns sums) in per-BLOCK window
+    regions: fragment f's resolved coverage sits at row
+    b_last(f)*WF + rank(f) - align8(first_rank(b_last)) — see
+    _msaa_cov_kernel for why regions beat rank offsets on Mosaic.
     ``has_evenodd=False`` specializes out the even-odd path."""
+    return _msaa_coverage_common(trow, bdr, ns, has_evenodd, ft_clip,
+                                 interpret, kernel=_msaa_cov_kernel)
+
+
+def _msaa_coverage_common(trow, bdr, ns, has_evenodd, ft_clip, interpret,
+                          *, kernel):
     interpret = interpret_default() if interpret is None else interpret
     import numpy as _np
 
@@ -385,23 +400,24 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((CK_M, NPX), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, WF_M, 128), jnp.float32),
             pltpu.VMEM((1, ns * NPX), jnp.float32),
+            pltpu.VMEM((WF_M, NPX), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
-    kern = functools.partial(_msaa_cov_kernel, ns=ns,
-                             has_evenodd=has_evenodd)
-    # NOTE: returns the CK-padded row count (pad rows never match islast =>
-    # all zero); callers gather by touch index < t0, so slicing back would
-    # only add a large copy.
+    kern = functools.partial(kernel, ns=ns, has_evenodd=has_evenodd)
+    # Block-region output: block g's resolved window (ranks [w0_g,
+    # w0_g+WF)) occupies rows [g*WF, (g+1)*WF); callers gather fragment f
+    # at b_last(f)*WF + rank(f) - w0(b_last) — rows of non-closing blocks
+    # and dead blocks are garbage no caller reads.
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, NPX), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((g * WF_M, NPX), jnp.bfloat16),
         interpret=interpret,
     )(w0s, rank_last, open_f, tpk, sxy, bdr)
 
@@ -519,7 +535,7 @@ def _select_rows_exact(w, oh):
 def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
                     spackT_hbm,    # ANY (24, Spad) f32 segment fields
                     out_ref,       # out VMEM (16, B) f32 line pack
-                    win_ref, sem, *, width, height):
+                    win_ref, sem, *, width, height, has_stroke=False):
     g = pl.program_id(0)
     ntot = s0_ref[pl.num_programs(0)]
     s0 = pl.multiple_of(s0_ref[g], 128)
@@ -554,10 +570,32 @@ def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
         return (mt ** 3 * ca + 3 * mt * mt * t * cb
                 + 3 * mt * t * t * cc + t ** 3 * cd)
 
+    if has_stroke:
+        from .flatten import STROKE_SLOTS, stroke_slot_line
+        mrow = f(20)
+        is_st = mrow > 0.5
+        msafe = jnp.maximum(mrow, 1.0)
+        si = jnp.floor((sub + 0.5) * (1.0 / STROKE_SLOTS))
+        se = sub - STROKE_SLOTS * si
+        t0 = jnp.where(is_st, si / msafe, t0)
+        t1 = jnp.where(is_st, (si + 1.0) / msafe, t1)
+        t2 = (si + 2.0) / msafe
+
     p0x = ev(t0, c0x, c1x, c2x, c3x)
     p0y = ev(t0, c0y, c1y, c2y, c3y)
     p1x = ev(t1, c0x, c1x, c2x, c3x)
     p1y = ev(t1, c0y, c1y, c2y, c3y)
+
+    if has_stroke:
+        p2x = ev(t2, c0x, c1x, c2x, c3x)
+        p2y = ev(t2, c0y, c1y, c2y, c3y)
+        ax, ay, bx, by = stroke_slot_line(
+            p0x, p0y, p1x, p1y, p2x, p2y, f(17), f(18), f(19), f(21),
+            si, se, msafe)
+        p0x = jnp.where(is_st, ax, p0x)
+        p0y = jnp.where(is_st, ay, p0y)
+        p1x = jnp.where(is_st, bx, p1x)
+        p1y = jnp.where(is_st, by, p1y)
 
     # --- y trim (parametric, exact; same op order as ops/flatten.py) ---
     y0, y1 = p0y, p1y
@@ -636,11 +674,12 @@ def _flatten_kernel(s0_ref,        # prefetch (G+1,) i32 aligned starts+total
 
 
 def flatten_pallas(spackT, s0s, n_lines_cap, width, height,
-                   interpret=None):
+                   has_stroke=False, interpret=None):
     """spackT (24, Spad) f32 segment fields [8 cubic coords, n, offs, incl,
-    rect6, pad]; s0s (G+1,) i32 aligned window starts + total. Returns the
-    (16, L) line pack [qx0,qy0,qx1,qy1,down,tcount,live,needs_edge,ev_y0,
-    ev_y1,rect6]."""
+    rect6, hw, jnx, jny, m, join, pad2]; s0s (G+1,) i32 aligned window
+    starts + total. Returns the (16, L) line pack [qx0,qy0,qx1,qy1,down,
+    tcount,live,needs_edge,ev_y0,ev_y1,rect6]. has_stroke (static) enables
+    the device stroke-expansion branch (rows 17-21)."""
     interpret = interpret_default() if interpret is None else interpret
     assert n_lines_cap % BLK_F == 0, n_lines_cap
     g = n_lines_cap // BLK_F
@@ -656,7 +695,8 @@ def flatten_pallas(spackT, s0s, n_lines_cap, width, height,
         ],
     )
     kern = functools.partial(_flatten_kernel, width=float(width),
-                             height=float(height))
+                             height=float(height),
+                             has_stroke=bool(has_stroke))
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -40,13 +40,16 @@ def pathtag_scan(tags: jnp.ndarray):
     }
 
 
-def decode_and_transform(tags, data, transforms, styles, data4=None):
+def decode_and_transform(tags, data, transforms, styles, data4=None,
+                         style_hw=None):
     """Decode segments at every tag slot (kind==0 slots are inert) and apply
     the per-segment affine transform. Returns per-slot arrays.
 
     data: (Pt, 2) f32; transforms: (Nt, 6); styles: (Ns,) i32.
     data4: optional (Pt, 4, 2) shifted windows (data4[i,k] == data[i+k]) —
     one row gather decodes all four control points.
+    style_hw: optional (Ns,) f32 per-style stroke half-widths — adds "hw"
+    (device-space: scaled by sqrt|det T|) and "join" per slot.
     """
     scan = pathtag_scan(tags)
     kind = scan["kind"]
@@ -80,9 +83,16 @@ def decode_and_transform(tags, data, transforms, styles, data4=None):
     tp = jnp.stack([x, y], axis=-1)
     tp = jnp.where(scan["is_seg"][:, None, None] == 1, tp, 0.0)
     fill = styles[jnp.clip(scan["style_ix"], 0, max(len(styles) - 1, 0))]
-    return {
+    out = {
         "kind": kind * scan["is_seg"],
         "points": tp,
         "path_ix": scan["path_ix"],
         "fill_rule": fill,
     }
+    if style_hw is not None:
+        hw = style_hw[jnp.clip(scan["style_ix"], 0,
+                               max(len(style_hw) - 1, 0))]
+        det = t[:, 0] * t[:, 3] - t[:, 1] * t[:, 2]
+        out["hw"] = hw * jnp.sqrt(jnp.abs(det))
+        out["join"] = (1 - ((tags >> 2) & 1)) * scan["is_seg"]
+    return out

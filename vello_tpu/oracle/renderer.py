@@ -223,7 +223,8 @@ class OracleRenderer:
     def render_resolved(self, rs: ResolvedScene,
                         params: RenderParams) -> np.ndarray:
         W, H = params.width, params.height
-        decoded = decode_segments(rs.tags, rs.data, rs.transforms, rs.styles)
+        decoded = decode_segments(rs.tags, rs.data, rs.transforms, rs.styles,
+                                  style_hw=getattr(rs, "styles_hw", None))
         lines, line_path = flatten_decoded(decoded)
 
         centers = params.antialiasing == "centers"
@@ -286,11 +287,15 @@ class OracleRenderer:
                 p = int(rs.draw_path_ix[d])
                 if p < 0:
                     continue
-                cov = path_coverage(p)
-                rgba = eval_paint(rs, p, W, H)
-                src = rgba * cov[..., None]
-                top = stack[-1][0]
-                top[...] = blend_ops.src_over(np, top, src)
+                # batch records cover draw_path_n consecutive paths
+                nb = int(rs.draw_path_n[d]) if rs.draw_path_n is not None \
+                    else 1
+                for pp in range(p, p + max(nb, 1)):
+                    cov = path_coverage(pp)
+                    rgba = eval_paint(rs, pp, W, H)
+                    src = rgba * cov[..., None]
+                    top = stack[-1][0]
+                    top[...] = blend_ops.src_over(np, top, src)
         out = stack[0][0]
         return np.clip(out, 0.0, 1.0).astype(np.float32)
 

@@ -92,7 +92,11 @@ def _build_layer_tree(rs):
         else:
             p = int(rs.draw_path_ix[d])
             if p >= 0:
-                cur["children"].append(("draw", p))
+                # batch records cover draw_path_n consecutive paths
+                nb = int(rs.draw_path_n[d]) \
+                    if getattr(rs, "draw_path_n", None) is not None else 1
+                for pp in range(p, p + max(nb, 1)):
+                    cur["children"].append(("draw", pp))
     # unbalanced open layers: content is discarded (reference drops them)
     while cur is not root:
         cur["discard"] = True

@@ -44,6 +44,15 @@ class PipelineStatic:
                               # boundary: False statically skips the
                               # edge-vertical expansion (two L-scale sorts);
                               # guarded by overflow bit 32 + retry
+    has_stroke: bool = False  # any device-expanded stroke styles: enables
+                              # the flatten stroke branch (quad+bevel
+                              # emission per centerline mini)
+    max_lines: int = 64       # per-segment flatten subdivision cap
+                              # (MAX_LINES_PER_SEG), RAISED by the resolver
+                              # when the estimator detects pathological
+                              # segments whose Wang count exceeds it — so
+                              # huge single curves keep the 0.25 px
+                              # tolerance instead of silently coarsening
 
     @property
     def width_tiles(self):
@@ -80,16 +89,34 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
     bdr = jnp.pad(jnp.stack([bd_d, rl_d], axis=-1),
                   ((0, fpad - f), (0, 126)))             # (Fpad, 128)
     # ranks/boundaries derive in-kernel from the ftile payload column
-    # (trow col 6) — no (T, 8) rank/is_last concat is materialized
+    # (trow col 6) — no (T, 8) rank/is_last concat is materialized.
+    # out_t is BLOCK-REGION indexed (round 5): block g's resolved window
+    # occupies rows [g*WF, (g+1)*WF) (statically aligned DMA — Mosaic
+    # can't prove data-dependent rank offsets divisible by the tiling),
+    # and fragment f's final coverage lives in its CLOSING block's
+    # region at b_last*WF + rank - w0(b_last). One gather either way;
+    # this deletes the old per-block back-map one-hot matmul.
     out_t = msaa_coverage_pallas(trow, bdr, ns, has_evenodd=has_evenodd,
                                  ft_clip=f)
-    ends = jnp.maximum(starts[1:] - 1, 0)
+    rank_c = jnp.maximum(rank_f, 0)
+    from ..ops.pallas_kernels import CK_M
+    t_pad = -(-trow.shape[0] // CK_M) * CK_M
+    t_last = jnp.maximum(starts[1:] - 1, 0)              # (F,)
+    b_last = t_last // CK_M                              # (F,)
+    # per-block window base = align8(rank of the run owning touch g*CK)
+    # — must match the kernel wrapper's w0s (same rank numbering: real
+    # runs in sorted order; dump/pad blocks are never a b_last)
+    bidx = jnp.arange(t_pad // CK_M, dtype=jnp.int32) * CK_M
+    owner = jnp.clip(jnp.searchsorted(starts[1:], bidx, side="right"),
+                     0, f - 1)
+    w0_b = (rank_c[owner] // 8) * 8                      # (G,)
+    grow = (b_last * WF_M + rank_c - w0_b[b_last]).astype(jnp.float32)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
     # One packed (F, 2) table (a narrower row gather costs the same, but
     # every (F, k<128) column materialized pays 128/k lane-pad bloat, so
-    # the three flags ride ONE arithmetic-packed f32: ends*4 + has_t*2 +
+    # the three flags ride ONE arithmetic-packed f32: row*4 + has_t*2 +
     # valid stays exact below 2^24 tiers).
-    flags = (ends.astype(jnp.float32) * 4.0
+    flags = (grow * 4.0
              + has_t.astype(jnp.float32) * 2.0 + valid.astype(jnp.float32))
     pack = jnp.stack([flags, cov_empty[:, 0]], axis=-1)  # (F, 2)
     return out_t, pack
@@ -186,7 +213,11 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             ff = flatten_ops.flatten_fused(
                 bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
                 bufs["seg_path"], bufs["n_segs"], caps.n_lines, W, H,
-                tiling.rect_pack(rects))
+                tiling.rect_pack(rects),
+                seg_hw=bufs.get("seg_hw") if static.has_stroke else None,
+                seg_join=bufs.get("seg_join")
+                if static.has_stroke else None,
+                max_lines=static.max_lines)
         with jax.named_scope("s03_touch_expand"):
             touches = tiling.make_touches_from_linepack(
                 ff["linepack"], ff["total_lines"], caps.n_touches, n_edge,
@@ -195,7 +226,8 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
     else:
         decoded = pathtag.decode_and_transform(
             bufs["tags"], bufs["data"], bufs["transforms"], bufs["styles"],
-            data4=bufs.get("data4"))
+            data4=bufs.get("data4"),
+            style_hw=bufs.get("style_hw") if static.has_stroke else None)
 
         nl_local, nt_local, ne_local = caps.n_lines, caps.n_touches, n_edge
         if geom_axis is not None:
@@ -251,7 +283,9 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
             ne_local = max(caps.n_edges // geom_shards, 256)
 
         fl = flatten_ops.flatten(decoded, nl_local, ne_local, W, H,
-                                 rpack=tiling.rect_pack(rects))
+                                 rpack=tiling.rect_pack(rects),
+                                 has_stroke=static.has_stroke,
+                                 max_lines=static.max_lines)
         # Edges FIRST and marked always-producing: the fused expansion's
         # window invariant needs every slot before the last producer to
         # emit >= 1 touch (dead edge slots emit a dump dummy); the mid

@@ -78,18 +78,21 @@ class Scene:
 
     def stroke_batch(self, style: Stroke, transform: Affine,
                      colors: np.ndarray, pts: np.ndarray,
-                     widths=None) -> None:
-        """Batched solid-color strokes: N open cubic paths expanded and
-        encoded in single vectorised passes (the whole-scene analog of the
-        reference's in-frame device stroke expansion,
-        flatten.wgsl:328-630 — per-path Python cost ~1 ms at mmark scale,
-        this costs ~3 us/path).
+                     widths=None, expand: str = "auto") -> None:
+        """Batched solid-color strokes: N open cubic paths.
+
+        expand="device" (default for bevel joins + butt caps, no dash):
+        ONLY the centerline cubics + per-path widths are encoded; the
+        device flatten offsets/joins them in-frame (the reference's
+        flatten.wgsl:328-630 strategy) — the upload stays at segment
+        scale instead of outline scale (~16x for stroke-heavy scenes).
+        expand="host": vectorised host outline expansion (any join/cap
+        style; ~3 us/path). "auto" picks device when eligible.
 
         colors: (N, 4) straight-alpha RGBA. pts: (N, 1 + 3k, 2) f32 —
         start point + k cubic segments per path (elevate lines/quads
         exactly: line c1 = p0 + (p1-p0)/3 etc.). widths: optional (N,)
         per-path stroke widths overriding style.width."""
-        from .stroke import expand_stroke_batch
         colors = np.asarray(colors, dtype=np.float32).reshape(-1, 4)
         if colors.shape[0] != np.asarray(pts).shape[0]:
             raise ValueError("colors/pts batch size mismatch")
@@ -98,7 +101,24 @@ class Scene:
             # silently rendering solid would misreport the style.
             raise ValueError("stroke_batch does not support dash_pattern; "
                              "use Scene.stroke per path")
+        eligible = (style.join == "bevel" and style.start_cap == "butt"
+                    and style.end_cap == "butt")
+        if expand == "auto":
+            expand = "device" if eligible else "host"
         w = style.width if widths is None else widths
+        if expand == "device":
+            if not eligible:
+                raise ValueError("device stroke expansion supports bevel "
+                                 "joins + butt caps; use expand='host'")
+            n = np.asarray(pts).shape[0]
+            self.encoding.encode_transform(transform)
+            self.encoding.encode_stroke_path_batch(
+                pts, np.broadcast_to(np.asarray(w, np.float64), (n,)))
+            self.encoding.encode_draw(DrawRecord(
+                kind=DRAW_COLOR, fill_rule=int(Fill.NON_ZERO),
+                batch_colors=colors))
+            return
+        from .stroke import expand_stroke_batch
         cat, sizes, path_of = expand_stroke_batch(pts, w, style, transform)
         if not len(sizes):
             return
