@@ -95,12 +95,16 @@ def main():
     d2 = np.abs(imgs2[0, :128, :128] - ref2)
     assert d2.max() < 1e-3, f"splash sharded max {d2.max()}"
 
-    # --- non-divisible sp must fail loudly, not mis-render ---
-    try:
-        build_sharded_renderer(static, make_mesh(1, 3, jax.devices()[:3]))
-        raise RuntimeError("expected assertion for non-divisible sp")
-    except AssertionError:
-        pass
+    # --- non-divisible sp pads the framebuffer to the next stripe
+    # multiple (round 5; previously a hard assert) and still matches ---
+    imgs3, ovf3 = render_batch(bufs[:3], static,
+                               make_mesh(1, 3, jax.devices()[:3]))
+    assert ovf3.sum() == 0
+    assert imgs3.shape[1] >= 128 and imgs3.shape[1] % 3 == 0
+    for i in range(3):
+        ref3 = single.render_resolved(resolved[i], params)
+        d3 = np.abs(imgs3[i, :128, :128] - ref3)
+        assert d3.max() < 1e-4, f"padded-sp scene {i}: max {d3.max()}"
     msaa_check()
     layered_check()
     pallas_stripe_check()
