@@ -22,15 +22,16 @@ from vello_tpu.oracle.renderer import OracleRenderer
 from vello_tpu.peniko import ColorStop, Gradient, palette
 
 
-def _check(name, scene, w=100, h=100, mean_tol=0.003, max_tol=0.3,
-           aa="area"):
+def _check(name, scene, w=100, h=100, mean_tol=0.003, max_tol=None,
+           aa="area", allow_flips=0):
     params = RenderParams(w, h, base_color=(0, 0, 0, 0), antialiasing=aa)
     dev = Renderer().render(scene, params)
     orc = OracleRenderer().render(scene, params)
     if aa == "area":
         assert np.abs(dev - orc).mean() < mean_tol, \
             f"{name}: device vs oracle {np.abs(dev - orc).mean():.5f}"
-    assert_snapshot(name, dev, mean_tol=0.004, max_tol=max_tol)
+    assert_snapshot(name, dev, mean_tol=0.004, max_tol=max_tol,
+                    allow_flips=allow_flips)
     return dev
 
 
@@ -107,7 +108,9 @@ def test_no_anti_aliasing():
     s.fill(Fill.NON_ZERO, Affine.rotate_about(math.radians(45.0), 50., 50.),
            palette.REBECCA_PURPLE.with_alpha(0.5), None,
            rect_path(30.0, 30.0, 70.0, 70.0))
-    dev = _check("basic_no_aa", s, aa="centers", max_tol=1.01)
+    # aliased mode: boundary jitter flips WHOLE pixels; gate the flip
+    # count instead of amplitude (semantic binary-coverage assert below)
+    dev = _check("basic_no_aa", s, aa="centers", allow_flips=8)
     # every pixel is either empty or exactly 0.5-alpha purple — no
     # fractional AA coverage anywhere
     a = np.asarray(dev[..., 3])
@@ -121,7 +124,7 @@ def test_no_anti_aliasing_clip_path():
     s.fill(Fill.NON_ZERO, Affine.identity(), palette.REBECCA_PURPLE, None,
            rect_path(0, 0, 100, 100))
     s.pop_layer()
-    dev = _check("basic_no_aa_clip", s, aa="centers", max_tol=1.01)
+    dev = _check("basic_no_aa_clip", s, aa="centers", allow_flips=8)
     a = np.asarray(dev[..., 3])
     frac = (a > 0.01) & (a < 0.99)
     assert int(frac.sum()) == 0
@@ -138,7 +141,9 @@ def test_stroke_scaled():
     s = Scene()
     s.stroke(Stroke(width=10.0), Affine.identity(), palette.RED, None, big)
     s.stroke(Stroke(width=0.1), Affine.scale(100.0), palette.LIME, None, p)
-    dev = _check("basic_stroke_scaled", s, mean_tol=0.02, max_tol=1.01)
+    # two independently-expanded strokes overlap along the full length;
+    # their AA boundaries quantize independently (measured 4/255 today)
+    dev = _check("basic_stroke_scaled", s, mean_tol=0.02, max_tol=0.025)
     # width 0.1 under scale(100) == device width 10: the lime stroke must
     # "more or less completely cover" the red one (same centerline+width)
     lime = np.asarray(dev[..., 1]) > 0.5

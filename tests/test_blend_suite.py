@@ -25,7 +25,7 @@ def _stops(*cs):
 
 
 def _check(name, scene, w=100, h=100, base=(0, 0, 0, 0), mean_tol=0.003,
-           max_tol=0.3):
+           max_tol=None):
     params = RenderParams(w, h, base_color=base)
     dev = Renderer().render(scene, params)
     orc = OracleRenderer().render(scene, params)

@@ -28,13 +28,13 @@ def _scene(radius, std_dev, transform=None, inverse=False):
     return s
 
 
-def _check(name, scene, mean_tol=0.004):
+def _check(name, scene, mean_tol=0.004, max_tol=None):
     params = RenderParams(100, 100, base_color=(0, 0, 0, 0))
     dev = Renderer().render(scene, params)
     orc = OracleRenderer().render(scene, params)
     assert np.abs(dev - orc).mean() < mean_tol, \
         f"{name}: device vs oracle {np.abs(dev - orc).mean():.5f}"
-    assert_snapshot(name, dev, mean_tol=0.004, max_tol=0.35)
+    assert_snapshot(name, dev, mean_tol=0.004, max_tol=max_tol)
     return dev
 
 

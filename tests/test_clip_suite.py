@@ -27,7 +27,7 @@ from vello_tpu.peniko import ColorStop, Gradient, palette
 
 
 def _check(name, scene, w=100, h=100, base=(0, 0, 0, 0), mean_tol=0.003,
-           max_tol=0.3, oracle=True):
+           max_tol=None, oracle=True):
     params = RenderParams(w, h, base_color=base)
     dev = Renderer().render(scene, params)
     if oracle:

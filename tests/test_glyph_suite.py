@@ -34,7 +34,7 @@ def _layout(font, size, text, origin=(0.0, 0.0)):
     return layout_text(font, size, text, origin)
 
 
-def _check(name, scene, w=300, h=70, mean_tol=0.004, max_tol=0.5):
+def _check(name, scene, w=300, h=70, mean_tol=0.004, max_tol=None):
     params = RenderParams(w, h, base_color=(1, 1, 1, 1))
     dev = Renderer().render(scene, params)
     orc = OracleRenderer().render(scene, params)

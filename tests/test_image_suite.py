@@ -39,7 +39,7 @@ def rgb_10() -> np.ndarray:
     return _load("rgb_image_10x10", "RGB")
 
 
-def _check(name, scene, w=100, h=100, mean_tol=0.004, max_tol=0.4):
+def _check(name, scene, w=100, h=100, mean_tol=0.004, max_tol=None):
     params = RenderParams(w, h, base_color=(0, 0, 0, 0))
     dev = Renderer().render(scene, params)
     orc = OracleRenderer().render(scene, params)

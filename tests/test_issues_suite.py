@@ -22,7 +22,7 @@ from vello_tpu.utils.svg import parse_path_data
 
 
 def _check(name, scene, w=100, h=100, base=(0, 0, 0, 0), mean_tol=0.003,
-           max_tol=0.3, oracle=True):
+           max_tol=None, oracle=True):
     params = RenderParams(w, h, base_color=base)
     dev = Renderer().render(scene, params)
     if oracle:
@@ -312,7 +312,7 @@ def test_clip_wrong_command():
     s.fill(Fill.NON_ZERO, t, palette.BLACK, None, rect_path(0, 0, 595, 808))
     s.pop_layer()
     s.pop_layer()
-    _check("issue_clip_wrong_command", s, w=595, h=20, max_tol=0.5)
+    _check("issue_clip_wrong_command", s, w=595, h=20)
 
 
 # issues.rs:487-494 (vello#1219)

@@ -202,4 +202,4 @@ def test_ported_scene_device_vs_oracle(name):
     # conditioning fix the reference gets from focal-form analysis,
     # draw_leaf.wgsl:291-303) it holds the standard tolerance too.
     assert np.abs(dev - orc).mean() < 2.5e-3, name
-    assert_snapshot(f"ref_{name}", dev, mean_tol=0.002, max_tol=0.25)
+    assert_snapshot(f"ref_{name}", dev, mean_tol=0.002)
