@@ -5,15 +5,23 @@ Baseline (BASELINE.md): the reference hits 177 fps on paris-30k @1600^2 on an
 Apple M1 Max. In-repo, mmark/filled_mmark are the scalable-complexity
 stand-ins (the reference does the same: examples/scenes/src/mmark.rs).
 vs_baseline = fps / 177.
+
+Beyond the headline solid-fill config, ``extra.scenes`` records the
+general-path configs (round-5): stroked mmark (the reference's actual
+benchmark shape, mmark.rs:95 — device stroke expansion), mixed gradient+
+image paints (eval_paints + materialized src tensor), and a layered scene
+(scan compositor). ``extra.cache`` carries persistent-compile-cache
+evidence; ``compile_s_empty_cache`` is measured in a subprocess with the
+cache disabled (BENCH_COLD=0 skips it).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
-import jax.numpy as jnp
 
 BASELINE_FPS = 177.0
 # BASELINE.json north-star config: paris-30k-class scene, 1600^2, msaa16
@@ -22,10 +30,58 @@ SIZE = int(os.environ.get("BENCH_SIZE", "1600"))
 AA = os.environ.get("BENCH_AA", "msaa16")
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _cache_entries():
+    d = os.path.join(REPO, ".jax_cache")
+    try:
+        return len(os.listdir(d))
+    except OSError:
+        return 0
+
+
+def bench_general(name, scene, params, iters):
+    """End-to-end numbers for one general-path scene through the public
+    Renderer (tier pick + overflow retry), then a zero-readback warm loop."""
+    import jax
+    from vello_tpu.encoding.resolve import resolve
+    from vello_tpu.models.renderer import Renderer
+
+    t0 = time.time()
+    rs = resolve(scene.encoding, params)
+    resolve_s = time.time() - t0
+    r = Renderer()
+    t0 = time.time()
+    r.render_resolved(rs, params, out="rgba8")
+    first_s = time.time() - t0           # compile + upload + frame
+    thunk = r.frame_thunk()
+    for _ in range(WARMUP):
+        img, ovf = thunk()
+    int(jax.device_get(ovf))
+    t0 = time.time()
+    for _ in range(iters):
+        img, ovf = thunk()
+    int(jax.device_get(ovf))
+    dt = (time.time() - t0) / iters
+    prof = r.last_profile
+    return {
+        "fps": round(1.0 / dt, 2),
+        "frame_ms": round(dt * 1e3, 2),
+        "resolve_s": round(resolve_s, 2),
+        "first_frame_s": round(first_s, 1),
+        "n_paths": rs.n_paths,
+        "n_segs": rs.n_segs,
+        "est_lines": rs.est_lines,
+        "retries": prof.get("retries"),
+        "tier_lines": prof.get("tier", {}).get("lines"),
+        "tier_touches": prof.get("tier", {}).get("touches"),
+    }
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from vello_tpu import RenderParams
     from vello_tpu.encoding.resolve import resolve
@@ -33,6 +89,7 @@ def main():
     from vello_tpu.pipeline.render import PipelineStatic, get_pipeline
     from vello_tpu.scenes.test_scenes import filled_mmark
 
+    cache_before = _cache_entries()
     jax.devices()   # backend/tunnel init is not encode work
     import jax.experimental.pallas  # noqa: F401  (module import, not encode:
     #                               ~1.3 s of interpreter work on first use)
@@ -145,6 +202,45 @@ def main():
         except Exception as e:
             alt_fps[f"{alt_aa}_{mode}"] = f"error: {str(e)[:80]}"
 
+    # ---- general-path configs (round 5): the truth beyond solid fills ----
+    scenes = {}
+    if os.environ.get("BENCH_GENERAL", "1") != "0":
+        from vello_tpu.scenes.test_scenes import (layered_mmark,
+                                                  mixed_paint_mmark, mmark)
+        giter = max(ITERS // 2, 5)
+        for name, builder in (
+                ("stroked_mmark", lambda: mmark(COMPLEXITY, float(SIZE))),
+                ("gradient_image_mmark",
+                 lambda: mixed_paint_mmark(COMPLEXITY, float(SIZE))),
+                ("layered_mmark",
+                 lambda: layered_mmark(COMPLEXITY, float(SIZE)))):
+            try:
+                t0 = time.time()
+                sc = builder()
+                build_s = time.time() - t0
+                got = bench_general(name, sc, params, giter)
+                got["build_s"] = round(build_s, 2)
+                got["encode_s"] = round(build_s + got["resolve_s"], 2)
+                scenes[name] = got
+            except Exception as e:
+                scenes[name] = {"error": str(e)[:200]}
+
+    # ---- persistent-cache evidence + true empty-cache compile ----
+    cache_after = _cache_entries()
+    compile_cold = None
+    if os.environ.get("BENCH_COLD", "1") != "0":
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools",
+                                              "compile_diag.py"),
+                 str(COMPLEXITY), str(SIZE)],
+                capture_output=True, text=True, timeout=1200, cwd=REPO)
+            for ln in p.stdout.splitlines():
+                if ln.startswith("TOTAL trace+compile:"):
+                    compile_cold = float(ln.split(":")[1].strip().rstrip("s"))
+        except Exception:
+            pass
+
     result = {
         "metric": f"fps filled_mmark-{COMPLEXITY}k {SIZE}x{SIZE} {AA} "
                   f"({n_paths} paths, {n_segs} segs, ~{rs.est_lines} lines)",
@@ -157,7 +253,12 @@ def main():
             "mlines_per_s": round(msegs, 2),
             "alt_fps": alt_fps,
             "compile_s": round(compile_s, 1),
+            "compile_s_empty_cache": compile_cold,
+            "cache": {"entries_before": cache_before,
+                      "entries_after": cache_after,
+                      "dir": ".jax_cache"},
             "encode_s": round(encode_s, 2),
+            "scenes": scenes,
             "backend": jax.default_backend(),
             "caps": dict(zip(
                 ["tags", "points", "segs", "lines", "touches", "path_tiles",

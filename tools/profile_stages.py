@@ -1,8 +1,16 @@
-"""Stage-level TPU profiling of the real pipeline (cumulative prefixes).
+"""Stage-level TPU profiling of the real pipeline (cumulative prefixes),
+with criterion-style per-GROUP JSON output (the reference's vello_bench
+groups, sparse_strips/vello_bench/benches/main.rs:10-27: encode / flatten /
+tile / sort(strip) / fine+composite) — one command whose numbers the next
+round can diff.
 
 Usage: python tools/profile_stages.py [complexity] [size]
+Last line printed is one JSON object: host-side encode group (build /
+encode-streams / resolve seconds) + device per-stage incremental ms
+(decode, flatten, touches, sort, coverage, composite=frame-coverage).
 """
 
+import json
 import sys
 import time
 
@@ -27,9 +35,16 @@ def main():
     complexity = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 
+    t0 = time.time()
     scene = filled_mmark(complexity, float(size))
+    build_s = time.time() - t0
     params = RenderParams(size, size, base_color=(0.1, 0.1, 0.1, 1.0))
+    t0 = time.time()
+    scene.encoding.packed_streams()
+    encode_streams_s = time.time() - t0
+    t0 = time.time()
     rs = resolve(scene.encoding, params)
+    resolve_s = time.time() - t0
     caps = rs.capacities(params)
     static = PipelineStatic(
         caps_key=caps.key(), width=size, height=size,
@@ -90,6 +105,11 @@ def main():
 
     stages = ["decode", "flatten", "touches", "sort", "coverage"]
     prev = 0.0
+    groups = {"encode": {"build_s": round(build_s, 3),
+                         "encode_streams_s": round(encode_streams_s, 3),
+                         "resolve_s": round(resolve_s, 3)},
+              "n_paths": rs.n_paths, "n_segs": rs.n_segs,
+              "est_lines": rs.est_lines, "size": size}
     for name in stages:
         j = jax.jit(upto(name))
         r = j(bufs)
@@ -101,6 +121,7 @@ def main():
         dt = (time.time() - t0) / 5
         print(f"{name:10s} cum {dt*1e3:8.2f} ms  (+{(dt-prev)*1e3:8.2f})",
               flush=True)
+        groups[name + "_ms"] = round((dt - prev) * 1e3, 2)
         prev = dt
     fj = jax.jit(lambda b: render_frame(b, static)[0].sum())
     r = fj(bufs)
@@ -111,6 +132,9 @@ def main():
     float(jax.device_get(r))
     dt = (time.time() - t0) / 5
     print(f"{'full':10s} cum {dt*1e3:8.2f} ms  (+{(dt-prev)*1e3:8.2f})")
+    groups["composite_ms"] = round((dt - prev) * 1e3, 2)
+    groups["frame_ms"] = round(dt * 1e3, 2)
+    print(json.dumps(groups))
 
 
 if __name__ == "__main__":

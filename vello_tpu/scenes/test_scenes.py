@@ -520,3 +520,102 @@ def filter_suite(size: float = 256.0) -> Scene:
 
 
 LAYER_SCENES["filter_suite"] = filter_suite
+
+
+def _blob_pts(rng, n, width, height):
+    """(n, 13, 2) closed 4-cubic circle blobs (filled_mmark geometry)."""
+    cxy = rng.uniform([20, 20], [width - 20, height - 20], size=(n, 2))
+    r = rng.uniform(3, 14, size=n)
+    cx, cy = cxy[:, 0], cxy[:, 1]
+    kk = 0.5523 * r
+    z = np.zeros_like(r)
+
+    def pt(dx, dy):
+        return np.stack([cx + dx, cy + dy], axis=-1)
+
+    pts = np.stack([
+        pt(r, z),
+        pt(r, kk), pt(kk, r), pt(z, r),
+        pt(-kk, r), pt(-r, kk), pt(-r, z),
+        pt(-r, -kk), pt(-kk, -r), pt(z, -r),
+        pt(kk, -r), pt(r, -kk), pt(r, z),
+    ], axis=1).astype(np.float32)                     # (n, 13, 2)
+    return pts, cx, cy, r
+
+
+def mixed_paint_mmark(complexity: int = 1, size: float = 1024.0,
+                      seed: int = 2) -> Scene:
+    """Benchmark variant off the solid-fill fast path: filled_mmark blob
+    geometry with ~80% solid fills (batched), ~15% gradient fills (linear/
+    radial/sweep round-robin) and ~5% image fills. kinds_present spans
+    solid+gradients+image, so the composite runs eval_paints + the
+    materialized (F, 4, 256) src tensor instead of the paint8 slim path."""
+    from ..peniko import Image, ImageQuality
+    n = complexity * 1000
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    width, height = size, size * 0.75
+    pts, cx, cy, r = _blob_pts(rng, n, width, height)
+    n_solid = int(n * 0.8)
+    colors = np.asarray(
+        [(COLORS[i % 12].r, COLORS[i % 12].g, COLORS[i % 12].b, 0.8)
+         for i in range(12)], dtype=np.float32)[np.arange(n_solid) % 12]
+    s.fill_batch(Fill.NON_ZERO, Affine.identity(), colors, pts[:n_solid])
+    # a small checkerboard texture shared by all image fills
+    tex = np.zeros((16, 16, 4), np.uint8)
+    tex[::2, ::2] = (255, 60, 60, 255)
+    tex[1::2, 1::2] = (60, 60, 255, 255)
+    tex[::2, 1::2] = (250, 250, 90, 255)
+    tex[1::2, ::2] = (30, 200, 140, 255)
+    img = Image(tex, Extend.REPEAT, Extend.REPEAT, ImageQuality.MEDIUM)
+    n_img = max(n // 20, 1)
+    grads = [
+        lambda ci, cj, rr: Gradient.linear(
+            (ci - rr, cj - rr), (ci + rr, cj + rr),
+            stops(palette.RED, palette.YELLOW), Extend.PAD),
+        lambda ci, cj, rr: Gradient.radial(
+            (ci, cj), rr, stops(palette.CYAN, palette.NAVY), Extend.PAD),
+        lambda ci, cj, rr: Gradient.sweep(
+            (ci, cj), 0.0, 2 * math.pi,
+            stops(palette.MAGENTA, palette.LIME, palette.MAGENTA)),
+    ]
+    for i in range(n_solid, n):
+        p = pts[i]
+        path = BezPath().move_to(*p[0])
+        for j in range(1, 13, 3):
+            path.curve_to(p[j, 0], p[j, 1], p[j + 1, 0], p[j + 1, 1],
+                          p[j + 2, 0], p[j + 2, 1])
+        path.close()
+        if i < n - n_img:
+            brush = grads[i % 3](cx[i], cy[i], r[i])
+        else:
+            brush = img
+        s.fill(Fill.NON_ZERO, Affine.identity(), brush, None, path)
+    return s
+
+
+def layered_mmark(complexity: int = 1, size: float = 1024.0,
+                  n_layers: int = 24, seed: int = 2) -> Scene:
+    """Benchmark variant through the SCAN compositor: filled_mmark blob
+    geometry split into n_layers alpha/blend groups (push_layer around
+    batched fills), so frames run the layered plan-as-data pipeline
+    (pipeline/layered.py) instead of the flat composite."""
+    n = complexity * 1000
+    rng = np.random.default_rng(seed)
+    s = Scene()
+    width, height = size, size * 0.75
+    pts, _, _, _ = _blob_pts(rng, n, width, height)
+    colors = np.asarray(
+        [(COLORS[i % 12].r, COLORS[i % 12].g, COLORS[i % 12].b, 0.8)
+         for i in range(12)], dtype=np.float32)[np.arange(n) % 12]
+    per = max(n // n_layers, 1)
+    mixes = [Mix.NORMAL, Mix.MULTIPLY, Mix.SCREEN, Mix.NORMAL]
+    for g in range(n_layers):
+        lo, hi = g * per, min((g + 1) * per, n)
+        if lo >= hi:
+            break
+        s.push_layer(mixes[g % 4], 0.85, Affine.identity(), None)
+        s.fill_batch(Fill.NON_ZERO, Affine.identity(), colors[lo:hi],
+                     pts[lo:hi])
+        s.pop_layer()
+    return s
