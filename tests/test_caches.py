@@ -158,3 +158,73 @@ def test_glyph_cache_lru():
     assert c.misses == m0
     c.outline(font, g[1])          # 'b' was evicted -> miss
     assert c.misses == m0 + 1
+
+
+def test_atlas_pages_past_single_page():
+    """Multi-page stacking (multi_atlas.rs role): heights keep growing in
+    PAGE_H virtual pages past the first page, bounded by the memory
+    budget, with entries at absolute (x, y) — blits land where the
+    entries say across page boundaries."""
+    a = ImageAtlas(width=64)
+    a.MAX_WIDTH = 64          # pin width so growth must go DOWN the pages
+    a.PAGE_H = 128            # small pages for the test
+    a.MAX_HEIGHT = 512        # 4 pages
+    a.begin_generation()
+    ps = [a.add(_img(s, 64, 64)) for s in range(8)]   # fills all 4 pages
+    assert max(p[1] for p in ps) >= 128, "never crossed a page boundary"
+    arr = a.array()
+    assert arr.shape[0] >= 512 and arr.shape[1] == 64
+    for s, (x, y, w, h) in enumerate(ps):
+        expect = _img(s, 64, 64).data.astype(np.float32) / 255.0
+        got = arr[y:y + h, x:x + w]
+        np.testing.assert_allclose(got[..., :3],
+                                   expect[..., :3] * expect[..., 3:4],
+                                   atol=1e-6)
+    # a 9th live image exceeds the budget even after eviction
+    with pytest.raises(RuntimeError):
+        a.add(_img(99, 64, 64))
+
+
+def test_atlas_pressure_eviction_across_pages():
+    """Under sustained pressure (working set cycling beyond the budget),
+    generation eviction keeps the multi-page atlas inside its extent and
+    rendering-valid (current-generation entries keep stable slots)."""
+    a = ImageAtlas(width=64)
+    a.MAX_WIDTH = 64
+    a.PAGE_H = 128
+    a.MAX_HEIGHT = 384        # 3 pages; 2-generation live union fits
+    for frame in range(10):
+        a.begin_generation()
+        lo = (frame * 2) % 24
+        for i in range(3):
+            a.add(_img(lo + i, 64, 64))
+        # re-query after all adds: an eviction mid-frame relocates
+        # earlier entries (the Resolver does the same re-query pass)
+        pos = [a.add(_img(lo + i, 64, 64)) for i in range(3)]
+        arr = a.array()
+        assert a.height <= 384      # arr pads to a power-of-two tier
+        # every current-generation entry must be where it says it is
+        for i, (x, y, w, h) in enumerate(pos):
+            expect = _img(lo + i, 64, 64).data.astype(np.float32) / 255.0
+            np.testing.assert_allclose(
+                arr[y:y + h, x:x + w][..., :3],
+                expect[..., :3] * expect[..., 3:4], atol=1e-6)
+    assert a.evictions > 0
+
+
+def test_atlas_budget_property():
+    """The default MAX_HEIGHT derives from the memory budget env var and
+    quantizes to whole pages."""
+    import os
+    a = ImageAtlas(width=8192)
+    old = os.environ.get("VELLO_TPU_ATLAS_BUDGET_MB")
+    try:
+        os.environ["VELLO_TPU_ATLAS_BUDGET_MB"] = "2048"
+        assert a.MAX_HEIGHT == 16384        # 2 GB / (8192*16 B) rows
+        os.environ["VELLO_TPU_ATLAS_BUDGET_MB"] = "64"
+        assert a.MAX_HEIGHT == a.PAGE_H     # floor: one page
+    finally:
+        if old is None:
+            os.environ.pop("VELLO_TPU_ATLAS_BUDGET_MB", None)
+        else:
+            os.environ["VELLO_TPU_ATLAS_BUDGET_MB"] = old

@@ -158,13 +158,35 @@ class ImageAtlas:
     resolve returns the cached array untouched. Full re-blits happen
     only after eviction/repack (counted in ``rebuilds``).
 
+    Multi-page (round 5, ``multi_atlas.rs`` role): past the GPU-shaped
+    8192-row page, the atlas keeps stacking PAGE_H-row virtual pages
+    vertically up to a MEMORY budget (VELLO_TPU_ATLAS_BUDGET_MB, default
+    2048 — TPU sampling is a gather into one HBM array, so "pages" need
+    no plumbing: entries keep absolute (x, y)). Overflow order: evict ->
+    widen -> add pages -> only then fail.
+
     Keys are content hashes (an ``id()`` key can alias after GC); an
     id-keyed weakref memo makes repeat adds of a live array O(1)."""
 
-    MAX_HEIGHT = 8192
+    PAGE_H = 8192
     MAX_WIDTH = 8192
 
+    @property
+    def MAX_HEIGHT(self) -> int:
+        """Budget-driven row cap (page-quantized); tests override it."""
+        if self._max_height is not None:
+            return self._max_height
+        import os
+        budget = int(os.environ.get("VELLO_TPU_ATLAS_BUDGET_MB", "2048"))
+        rows = (budget << 20) // (self.width * 16)   # f32 RGBA = 16 B/px
+        return max((rows // self.PAGE_H) * self.PAGE_H, self.PAGE_H)
+
+    @MAX_HEIGHT.setter
+    def MAX_HEIGHT(self, v: int) -> None:
+        self._max_height = int(v)
+
     def __init__(self, width: int = 1024):
+        self._max_height = None
         self.width = width
         self.shelves: List[List[int]] = []  # [y, height, cursor_x]
         self.height = 0
@@ -247,7 +269,7 @@ class ImageAtlas:
             return tuple(e[:4])
         h, w = img.data.shape[:2]
         if w > self.MAX_WIDTH or h > self.MAX_HEIGHT:
-            raise ValueError(f"image {w}x{h} exceeds atlas extent "
+            raise ValueError(f"image {w}x{h} exceeds atlas budget extent "
                              f"{self.MAX_WIDTH}x{self.MAX_HEIGHT}")
         while w > self.width:
             # grow the page for a wide image: shelves keep their (x, y)
@@ -520,6 +542,8 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
     draw_path_ix = np.full(max(len(encoding.draws), 1), -1, dtype=np.int32)
     draw_path_n = np.zeros(max(len(encoding.draws), 1), dtype=np.int32)
     layers: List[LayerInfo] = []
+    image_paints: List[tuple] = []
+    atlas_evictions0 = atlas.evictions
 
     # Per-path fill rule from the style stream via first segment (same
     # vectorised first-occurrence pass as the transforms above).
@@ -594,8 +618,18 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
             x, y, w, h = atlas.add(img)
             image_rec[p] = [x, y, w, h, int(img.x_extend),
                             int(img.y_extend), int(img.quality), img.alpha]
+            image_paints.append((p, img))
             paint_inv[p] = np.asarray(brush_t.inverse().coeffs,
                                       dtype=np.float32)
+
+    if image_paints and atlas.evictions != atlas_evictions0:
+        # an eviction fired MID-resolve: the repack relocated entries
+        # added earlier in this loop, so their recorded positions are
+        # stale — re-query (cheap dedup hits; current-generation entries
+        # are all resident now)
+        for p, img in image_paints:
+            x, y, w, h = atlas.add(img)
+            image_rec[p][:4] = [x, y, w, h]
 
     (est_lines, est_touches, est_path_tiles, est_live, path_rect,
      max_lines) = _estimate(
