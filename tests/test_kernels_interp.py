@@ -92,7 +92,7 @@ def test_msaa_kernel_matches_xla(ns, seed):
     bdr = np.zeros((f + 8 + WF_M, 128), np.float32)
     bdr[:f, 0] = backdrop
     bdr[:f, 1] = rule[:, 0]
-    out_t = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr), ns,
+    out_t, w0b = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr), ns,
                                  has_evenodd=True, ft_clip=f,
                                  interpret=True)
     assert out_t.dtype == jnp.bfloat16   # k/ns coverage sums: bf16-exact
@@ -103,9 +103,12 @@ def test_msaa_kernel_matches_xla(ns, seed):
 
     t_last = starts[1:] - 1
     b_last = t_last // CK_M
+    w0_np = np.asarray(w0b)
+    rows = b_last * WF_M + np.arange(f) - w0_np[b_last]
+    # the returned window bases must equal the independent construction
     bidx = np.arange(int(b_last.max()) + 1) * CK_M
-    w0_b = (fid[np.minimum(bidx, len(fid) - 1)] // 8) * 8
-    rows = b_last * WF_M + np.arange(f) - w0_b[b_last]
+    ref_w0 = (fid[np.minimum(bidx, len(fid) - 1)] // 8) * 8
+    np.testing.assert_array_equal(w0_np[:len(ref_w0)], ref_w0)
     got = np.asarray(out_t, dtype=np.float32)[rows]
     np.testing.assert_allclose(got, np.asarray(ref), rtol=0, atol=1e-5)
 
@@ -114,7 +117,7 @@ def test_msaa_kernel_matches_xla(ns, seed):
     ref0 = fine_xla.msaa_coverage_xla(
         jnp.asarray(seg), jnp.asarray(yedge), jnp.asarray(starts),
         jnp.asarray(backdrop), jnp.asarray(np.zeros_like(rule)), ns)
-    out0 = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr0), ns,
+    out0, _ = msaa_coverage_pallas(jnp.asarray(trow), jnp.asarray(bdr0), ns,
                                 has_evenodd=False, ft_clip=f,
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(out0, dtype=np.float32)[rows],

@@ -326,10 +326,12 @@ def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
     128x: a 0.6 ms layout copy + 32-byte strided block DMAs costing
     4 ms/frame inside the kernel; the (T, 1) rank column another 0.5 ms).
     ftile values >= ft_clip (the dump segment) collapse into one trailing
-    run. Returns (G*WF, 256) bf16 (exact: k/ns sums) in per-BLOCK window
-    regions: fragment f's resolved coverage sits at row
-    b_last(f)*WF + rank(f) - align8(first_rank(b_last)) — see
-    _msaa_cov_kernel for why regions beat rank offsets on Mosaic.
+    run. Returns (out, w0b): out (G*WF, 256) bf16 (exact: k/ns sums) in
+    per-BLOCK window regions — fragment f's resolved coverage sits at row
+    b_last(f)*WF + rank(f) - w0b[b_last(f)] (see _msaa_cov_kernel for why
+    regions beat rank offsets on Mosaic) — and w0b (G,) i32, each block's
+    aligned window base rank (returned so callers reuse the wrapper's
+    rank cumsum instead of recomputing it with searchsorted+gather).
     ``has_evenodd=False`` specializes out the even-odd path."""
     return _msaa_coverage_common(trow, bdr, ns, has_evenodd, ft_clip,
                                  interpret, kernel=_msaa_cov_kernel)
@@ -414,12 +416,13 @@ def _msaa_coverage_common(trow, bdr, ns, has_evenodd, ft_clip, interpret,
     # w0_g+WF)) occupies rows [g*WF, (g+1)*WF); callers gather fragment f
     # at b_last(f)*WF + rank(f) - w0(b_last) — rows of non-closing blocks
     # and dead blocks are garbage no caller reads.
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g * WF_M, NPX), jnp.bfloat16),
         interpret=interpret,
     )(w0s, rank_last, open_f, tpk, sxy, bdr)
+    return out, w0s[:-1]
 
 
 def interpret_default() -> bool:

@@ -96,21 +96,24 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
     # and fragment f's final coverage lives in its CLOSING block's
     # region at b_last*WF + rank - w0(b_last). One gather either way;
     # this deletes the old per-block back-map one-hot matmul.
-    out_t = msaa_coverage_pallas(trow, bdr, ns, has_evenodd=has_evenodd,
-                                 ft_clip=f)
+    out_t, w0_b = msaa_coverage_pallas(trow, bdr, ns,
+                                       has_evenodd=has_evenodd, ft_clip=f)
     rank_c = jnp.maximum(rank_f, 0)
     from ..ops.pallas_kernels import CK_M
-    t_pad = -(-trow.shape[0] // CK_M) * CK_M
     t_last = jnp.maximum(starts[1:] - 1, 0)              # (F,)
     b_last = t_last // CK_M                              # (F,)
-    # per-block window base = align8(rank of the run owning touch g*CK)
-    # — must match the kernel wrapper's w0s (same rank numbering: real
-    # runs in sorted order; dump/pad blocks are never a b_last)
-    bidx = jnp.arange(t_pad // CK_M, dtype=jnp.int32) * CK_M
-    owner = jnp.clip(jnp.searchsorted(starts[1:], bidx, side="right"),
-                     0, f - 1)
-    w0_b = (rank_c[owner] // 8) * 8                      # (G,)
-    grow = (b_last * WF_M + rank_c - w0_b[b_last]).astype(jnp.float32)
+    # Expand the (G,) per-block window bases to (F,) WITHOUT an F-scale
+    # row gather (~8 ns/row = 1.5 ms at the bench tier — lesson 5):
+    # b_last is nondecreasing (t_last increases with f), so w0_b[b_last]
+    # is piecewise-constant — a G-scale boundary scatter of telescoping
+    # deltas + one F-scale cumsum reproduces it.
+    gsz = w0_b.shape[0]
+    fb_lo = jnp.searchsorted(b_last, jnp.arange(gsz, dtype=b_last.dtype),
+                             side="left")                # (G,)
+    delta = jnp.diff(w0_b, prepend=jnp.zeros(1, w0_b.dtype))
+    w0_exp = jnp.cumsum(jnp.zeros(f + 1, w0_b.dtype)
+                        .at[fb_lo].add(delta))[:f]       # (F,)
+    grow = (b_last * WF_M + rank_c - w0_exp).astype(jnp.float32)
     cov_empty = fine_xla.apply_fill_rule(backdrop[:, None], rule)
     # One packed (F, 2) table (a narrower row gather costs the same, but
     # every (F, k<128) column materialized pays 128/k lane-pad bloat, so
