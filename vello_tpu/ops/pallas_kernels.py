@@ -186,11 +186,11 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G+1,) i32; only the
             bdr_hbm.at[pl.ds(w, WF_M)],
             bwin_ref.at[buf_slot], sem.at[buf_slot])
 
-    def out_copy(step):
+    def out_copy(step, buf_slot):
         return pltpu.make_async_copy(
-            cov_ref.at[pl.ds(0, WF_M)],
+            cov_ref.at[buf_slot],
             out_hbm.at[pl.ds(pl.multiple_of(step * WF_M, 8), WF_M)],
-            osem)
+            osem.at[buf_slot])
 
     @pl.when(g == 0)
     def _():
@@ -201,23 +201,31 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G+1,) i32; only the
     def _():
         bdr_copy(g + 1, 1 - slot).start()
 
-    # chain the output DMAs: wait the previous block's write before this
-    # block overwrites the cov scratch (at most one outstanding copy)
-    @pl.when((g >= 1) & (g <= nlive))
+    # double-buffered output DMA: block g writes cov slot g%2 and only
+    # waits the copy issued TWO blocks back, so each 70 KB window write
+    # overlaps a full block of compute (a single-slot chain serialized
+    # the DMA issue latency into every block: measured +1.4 ms/frame)
+    @pl.when((g >= 2) & (g <= nlive + 1))
     def _():
-        out_copy(g - 1).wait()
+        out_copy(g - 2, slot).wait()
 
     @pl.when(live)
     def _body():
         _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
                     bwin_ref, carry_ref, cov_ref, g, slot,
                     bdr_copy, ns=ns, has_evenodd=has_evenodd)
-        out_copy(g).start()
+        out_copy(g, slot).start()
 
-    # the final live block's write has no successor to wait on it
-    @pl.when((g == ng - 1) & (g + 1 == nlive))
+    # drain the outstanding writes at the grid tail: regular waits stop
+    # at copy g-2, so when the grid ends within two blocks of the live
+    # prefix, copies nlive-1 (and the final block's own) remain open
+    @pl.when((g == ng - 1) & (g == nlive - 1))
     def _():
-        out_copy(g).wait()
+        out_copy(g, slot).wait()
+
+    @pl.when((g == ng - 1) & (g >= 1) & (g <= nlive))
+    def _():
+        out_copy(g - 1, 1 - slot).wait()
 
 
 def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
@@ -309,10 +317,10 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
             # min(|w|,1) == (w != 0)
             cs = jnp.where(w != 0.0, jnp.float32(1.0), jnp.float32(0.0))
         cov = cs if cov is None else cov + cs
-    # rank-indexed rows: still-open fragments' rows are partial here and
-    # get overwritten by the closing block's window write
-    cov_ref[0:WF_M, :] = (cov * jnp.float32(1.0 / ns)
-                          ).astype(jnp.bfloat16)        # (WF, 256)
+    # block-region rows: still-open fragments' rows are partial here;
+    # the gather only reads the closing block's region
+    cov_ref[slot] = (cov * jnp.float32(1.0 / ns)
+                     ).astype(jnp.bfloat16)             # (WF, 256)
 
 
 def msaa_coverage_pallas(trow, bdr, ns, has_evenodd=True, ft_clip=None,
@@ -406,9 +414,9 @@ def _msaa_coverage_common(trow, bdr, ns, has_evenodd, ft_clip, interpret,
         scratch_shapes=[
             pltpu.VMEM((2, WF_M, 128), jnp.float32),
             pltpu.VMEM((1, ns * NPX), jnp.float32),
-            pltpu.VMEM((WF_M, NPX), jnp.bfloat16),
+            pltpu.VMEM((2, WF_M, NPX), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(kernel, ns=ns, has_evenodd=has_evenodd)

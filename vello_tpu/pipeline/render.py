@@ -108,8 +108,8 @@ def _msaa_coverage_device(trow, seg_ids, starts, backdrop, rule, valid,
     # is piecewise-constant — a G-scale boundary scatter of telescoping
     # deltas + one F-scale cumsum reproduces it.
     gsz = w0_b.shape[0]
-    fb_lo = jnp.searchsorted(b_last, jnp.arange(gsz, dtype=b_last.dtype),
-                             side="left")                # (G,)
+    from ..ops.segmented import searchsorted_dense
+    fb_lo = searchsorted_dense(b_last, gsz, side="left")  # (G,)
     delta = jnp.diff(w0_b, prepend=jnp.zeros(1, w0_b.dtype))
     w0_exp = jnp.cumsum(jnp.zeros(f + 1, w0_b.dtype)
                         .at[fb_lo].add(delta))[:f]       # (F,)
