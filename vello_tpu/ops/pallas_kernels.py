@@ -147,8 +147,8 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G+1,) i32; only the
                                        # col0 backdrop, col1 rule
                      out_hbm,          # ANY out (G*WF, 256) bf16,
                                        # per-block window regions
-                     bwin_ref, carry_ref, cov_ref, sem, osem, *, ns,
-                     has_evenodd):
+                     bwin_ref, carry_ref, cov_ref, rowbuf, sem, osem,
+                     *, ns, has_evenodd):
     """Fragment-window MSAA coverage (round 5 revision).
 
     Structure per round 4 (transposed 8 KB block DMA, one vectorized
@@ -212,7 +212,7 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G+1,) i32; only the
     @pl.when(live)
     def _body():
         _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
-                    bwin_ref, carry_ref, cov_ref, g, slot,
+                    bwin_ref, carry_ref, cov_ref, rowbuf, g, slot,
                     bdr_copy, ns=ns, has_evenodd=has_evenodd)
         out_copy(g, slot).start()
 
@@ -229,8 +229,8 @@ def _msaa_cov_kernel(w0_ref,           # prefetch (G+1,) i32; only the
 
 
 def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
-                bwin_ref, carry_ref, cov_ref, g, slot, bdr_copy, *, ns,
-                has_evenodd):
+                bwin_ref, carry_ref, cov_ref, rowbuf, g, slot, bdr_copy,
+                *, ns, has_evenodd):
     w0 = pl.multiple_of(w0_ref[g], 8)
     tt = jnp.transpose(tpk_hbm[...], (1, 0))           # (CK, 16)
     x0 = tt[:, 0:1]
@@ -262,18 +262,23 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
              + jnp.where(syc >= ye, sgn_dx, 0.0)
              ).astype(jnp.bfloat16)                     # (CK, ns*256)
 
-    # ONE fold matmul does window-fold + next-carry extraction: columns
+    # ONE fold matmul does window-fold + TWO extraction columns: columns
     # 0..WF are the window rows; column WF matches the block's CLOSING
-    # fragment, so its dot output is that fragment's delta sum — the
-    # INCOMING carry is applied inside the resolve's register pass.
-    # bf16 output is exact: block sums are integers <= 2*CK = 256.
+    # fragment (its dot output is that fragment's delta sum -> the next
+    # carry); column WF+1 matches the INCOMING open fragment, giving the
+    # nonzero resolve's carry-row fixup its fold sums for free — the
+    # matmul computes all WF+8 columns anyway.
     w0f = jax.lax.convert_element_type(w0, jnp.float32)
     ftl_col = rankf - w0f                               # (CK, 1)
     open_id = rl_ref[jnp.maximum(g - 1, 0)]
     last_f = jax.lax.convert_element_type(rl_ref[g] - w0, jnp.float32)
+    open_fs = jax.lax.convert_element_type(
+        jnp.where(of_ref[g] > 0, open_id - w0, -1), jnp.float32)
     ciota = jax.lax.broadcasted_iota(jnp.int32, (1, WF_M + 8), 1)
     wcols = jnp.where(ciota < WF_M, ciota.astype(jnp.float32),
-                      jnp.where(ciota == WF_M, last_f, -3.0))
+                      jnp.where(ciota == WF_M, last_f,
+                                jnp.where(ciota == WF_M + 1, open_fs,
+                                          -3.0)))
     oh_ext = (ftl_col == wcols).astype(jnp.bfloat16)    # (CK, WF+8)
     # f32 accumulation is a Mosaic requirement (bf16 acc fails TPU
     # verification: 'Expected matmul acc to be 32-bit'); the sums are
@@ -286,8 +291,6 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
     carry_ref[...] = full[WF_M:WF_M + 1, :] \
         + jnp.where(keep, c, 0.0)
     # the open fragment's window row (-1 matches nothing when closed)
-    open_fs = jax.lax.convert_element_type(
-        jnp.where(of_ref[g] > 0, open_id - w0, -1), jnp.float32)
     wiota_c = jax.lax.broadcasted_iota(
         jnp.int32, (WF_M, 1), 0).astype(jnp.float32)    # (WF, 1)
     crow = wiota_c == open_fs                           # (WF, 1) bool
@@ -304,19 +307,39 @@ def _msaa_block(w0_ref, rl_ref, of_ref, tpk_hbm, sxy_ref,
     # each per-sample slice is a sublane slice at lane offset 0)
     c2 = c.reshape(ns, NPX)
     cov = None
-    for s in range(ns):
-        w = full[:WF_M, s * NPX:(s + 1) * NPX] + bd
-        w = w + jnp.where(crow, c2[s:s + 1, :], 0.0)
-        if has_evenodd:
+    if has_evenodd:
+        for s in range(ns):
+            w = full[:WF_M, s * NPX:(s + 1) * NPX] + bd
+            w = w + jnp.where(crow, c2[s:s + 1, :], 0.0)
             # even-odd parity needs exact integers beyond bf16's range
             filled = jnp.minimum(jnp.abs(w), 1.0)
             eo = jnp.abs(w - 2.0 * jnp.round(0.5 * w))
             cs = jnp.where(rule == 1.0, eo, filled)
-        else:
-            # nonzero-only: winding sums are EXACT f32 integers, so
-            # min(|w|,1) == (w != 0)
-            cs = jnp.where(w != 0.0, jnp.float32(1.0), jnp.float32(0.0))
-        cov = cs if cov is None else cov + cs
+            cov = cs if cov is None else cov + cs
+    else:
+        # nonzero-only: winding sums are EXACT f32 integers, so
+        # (w + bd != 0) == (w != -bd) — a column-broadcast compare, 2
+        # VPU ops/element instead of 4 (the resolve is ALU-bound:
+        # measured +4.2 ms of the round-4 kernel). The open-fragment
+        # CARRY row drops out of the loop entirely and is fixed up once
+        # at the end: one M=1 extraction matmul pulls that row's fold
+        # sums, its carry-corrected resolve costs (ns, 256), and a
+        # single select replaces the corrected row.
+        negbd = -bd                                     # (WF, 1)
+        for s in range(ns):
+            cs = (full[:WF_M, s * NPX:(s + 1) * NPX]
+                  != negbd).astype(jnp.float32)
+            cov = cs if cov is None else cov + cs
+        # the matmul-output row can't lane->sublane reshape in Mosaic;
+        # bounce it through a VMEM scratch row (same dodge as c2)
+        rowbuf[...] = full[WF_M + 1:WF_M + 2, :]        # (1, ns*256)
+        bd_row = jnp.sum(bd * crow, axis=0,
+                         keepdims=True)                 # (1, 1)
+        wrow = rowbuf[...].reshape(ns, NPX) + c2 + bd_row  # (ns, 256)
+        covrow = jnp.sum(
+            jnp.where(wrow != 0.0, jnp.float32(1.0), 0.0),
+            axis=0, keepdims=True)                      # (1, 256)
+        cov = jnp.where(crow, covrow, cov)
     # block-region rows: still-open fragments' rows are partial here;
     # the gather only reads the closing block's region
     cov_ref[slot] = (cov * jnp.float32(1.0 / ns)
@@ -415,6 +438,7 @@ def _msaa_coverage_common(trow, bdr, ns, has_evenodd, ft_clip, interpret,
             pltpu.VMEM((2, WF_M, 128), jnp.float32),
             pltpu.VMEM((1, ns * NPX), jnp.float32),
             pltpu.VMEM((2, WF_M, NPX), jnp.bfloat16),
+            pltpu.VMEM((1, ns * NPX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
