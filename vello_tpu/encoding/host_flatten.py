@@ -125,6 +125,18 @@ def _stroke_lines_np(p0, p1, p2, hw, jn, join, i, e, m):
     return (np.stack([ax, ay], -1), np.stack([bx, by], -1))
 
 
+def max_lines_for_wang_m(m_max: float, tol=FLATTEN_TOL,
+                         cap: int = 2048) -> int:
+    """Subdivision cap from the largest Wang second-difference magnitude:
+    next power of two >= the unclamped Wang count (>= the default
+    MAX_LINES_PER_SEG, <= cap)."""
+    top = float(np.sqrt(m_max / (8.0 * tol))) if m_max > 0 else 0.0
+    need = MAX_LINES_PER_SEG
+    while need < top and need < cap:
+        need *= 2
+    return need
+
+
 def required_max_lines(cub, kind, tol=FLATTEN_TOL, cap: int = 2048):
     """Per-segment subdivision cap needed to honor the flatten tolerance:
     next power of two >= the largest unclamped Wang count (>= the default
@@ -137,11 +149,8 @@ def required_max_lines(cub, kind, tol=FLATTEN_TOL, cap: int = 2048):
     m = 6.0 * np.maximum(np.hypot(d1[:, 0], d1[:, 1]),
                          np.hypot(d2[:, 0], d2[:, 1]))
     m = np.where(kind > 1, m, 0.0)
-    top = float(np.sqrt(m.max() / (8.0 * tol))) if len(m) else 0.0
-    need = MAX_LINES_PER_SEG
-    while need < top and need < cap:
-        need *= 2
-    return need
+    return max_lines_for_wang_m(float(m.max()) if len(m) else 0.0, tol,
+                                cap)
 
 
 def flatten_decoded(decoded, tol: float = FLATTEN_TOL,
