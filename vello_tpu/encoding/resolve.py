@@ -364,16 +364,19 @@ def _estimate(decoded, transforms, params: RenderParams):
     max_lines = max_lines_for_wang_m(float(m.max()) if len(m) else 0.0,
                                      FLATTEN_TOL)
     from .. import native
-    if native.available() and not any_stroke:
+    if native.available():
         # C++ streaming estimator: same math, none of the numpy
-        # first-touch allocation cost (seconds at mmark-30k scale).
-        # Stroked scenes take the numpy path below (flatten_decoded
-        # mirrors the device stroke expansion).
+        # first-touch allocation cost (seconds at mmark-30k scale);
+        # stroked segments estimate through the scalar port of the
+        # device stroke expansion (round 5 — the numpy stroke path cost
+        # ~6 s at stroked mmark-30k).
         got = native.estimate(
             decoded["points"], kind, decoded["transform"],
             decoded["path_ix"], decoded["n_paths"],
             params.width_tiles + 1, params.height_tiles,
-            TILE_W, TILE_H, FLATTEN_TOL, max_lines)
+            TILE_W, TILE_H, FLATTEN_TOL, max_lines,
+            hw=hw if any_stroke else None,
+            join=decoded.get("join") if any_stroke else None)
         if got is not None:
             return got + (max_lines,)
     if any_stroke:

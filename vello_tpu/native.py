@@ -49,6 +49,7 @@ def _load():
         lib.vn_estimate.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int,
@@ -113,10 +114,14 @@ def encode_polygons(polys, sizes
 
 
 def estimate(points, kind, tmat, path_ix, n_paths, wt1, ht_tiles,
-             tile_w, tile_h, tol, max_lines):
+             tile_w, tile_h, tol, max_lines, hw=None, join=None):
     """C++ capacity estimator (BumpEstimator analog). Returns
     (est_lines, est_touches, est_path_tiles, est_live, rect (P,4) i32)
-    or None when the native library is unavailable."""
+    or None when the native library is unavailable.
+
+    hw/join: optional (S,) stroke half-widths + subpath-continuation
+    flags — stroked segments estimate through the device stroke
+    expansion (7 lines per centerline mini)."""
     lib = _load()
     if not lib:
         return None
@@ -124,6 +129,13 @@ def estimate(points, kind, tmat, path_ix, n_paths, wt1, ht_tiles,
     kd = np.ascontiguousarray(kind, dtype=np.int32)
     tm = np.ascontiguousarray(tmat, dtype=np.float32)
     pix = np.ascontiguousarray(path_ix, dtype=np.int32)
+    hwp = None
+    jnp_ = None
+    if hw is not None:
+        hwp = np.ascontiguousarray(hw, dtype=np.float32)
+        jnp_ = np.ascontiguousarray(
+            join if join is not None else np.zeros(len(kd), np.int32),
+            dtype=np.int32)
     S = len(kd)
     P = max(int(n_paths), 1)
     ht1 = int(ht_tiles) + 1
@@ -135,6 +147,8 @@ def estimate(points, kind, tmat, path_ix, n_paths, wt1, ht_tiles,
     lib.vn_estimate(
         _cptr(pts, ctypes.c_float), _cptr(kd, ctypes.c_int),
         _cptr(tm, ctypes.c_float), _cptr(pix, ctypes.c_int),
+        _cptr(hwp, ctypes.c_float) if hwp is not None else None,
+        _cptr(jnp_, ctypes.c_int) if jnp_ is not None else None,
         S, int(n_paths), int(wt1), int(ht_tiles),
         float(tile_w), float(tile_h), float(tol), int(max_lines),
         _cptr(out, ctypes.c_longlong), _cptr(rect, ctypes.c_int),
