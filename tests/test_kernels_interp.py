@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from vello_tpu.ops import fine_xla
 from vello_tpu.ops.pallas_kernels import (FINE_CHUNK, NPX, WF_M,
+                                          fine_composite_over,
                                           fine_composite_solid,
                                           fine_composite_solid_cov,
                                           msaa_coverage_pallas)
@@ -58,6 +59,62 @@ def test_composite_kernels_match_xla(n_frag, n_gtiles):
         jnp.asarray(_starts(g, n_gtiles)), n_gtiles, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                rtol=0, atol=2e-5)
+
+
+def test_composite_over_matches_xla():
+    """fine_composite_over (walk onto an existing backdrop — the layered
+    draws op) vs composite_srcover_over."""
+    rng = np.random.default_rng(11)
+    n_frag, n_gtiles = FINE_CHUNK * 2 + 64, 23
+    g, cov, col = _frag_stream(rng, n_frag, n_gtiles)
+    src = (col[:, :, None] * cov[:, None, :]).astype(np.float32)
+    bg = rng.uniform(0, 1, (n_gtiles, 4, NPX)).astype(np.float32)
+
+    ref = fine_xla.composite_srcover_over(
+        jnp.asarray(src), jnp.asarray(src[:, 3, :]), jnp.asarray(g),
+        jnp.asarray(bg))
+    got = fine_composite_over(
+        jnp.asarray(src), jnp.asarray(bg),
+        jnp.asarray(_starts(g, n_gtiles)), n_gtiles, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_layered_clipped_walk_decomposition():
+    """The layered scan's op_draws decomposition: per-(op, tile) walk
+    bounds from rank_sorted + fine_composite_over must equal the masked
+    full-stream composite for every op range (layered.py wiring)."""
+    from vello_tpu.ops.segmented import rank_sorted
+
+    rng = np.random.default_rng(3)
+    n_frag, n_gtiles, P = FINE_CHUNK * 2, 9, 40
+    g = np.sort(rng.integers(0, n_gtiles, n_frag)).astype(np.int32)
+    path = rng.integers(0, P, n_frag).astype(np.int32)
+    order = np.lexsort((path, g))
+    g, path = g[order], path[order]
+    cov = rng.uniform(0.0, 1.0, (n_frag, NPX)).astype(np.float32)
+    a = rng.uniform(0.0, 1.0, (n_frag, 1)).astype(np.float32)
+    col = np.concatenate([rng.uniform(0, 1, (n_frag, 3)) * a, a],
+                         axis=1).astype(np.float32)
+    src = (col[:, :, None] * cov[:, None, :]).astype(np.float32)
+    bg = rng.uniform(0, 1, (n_gtiles, 4, NPX)).astype(np.float32)
+
+    skey = jnp.asarray(g * (P + 1) + path)
+    ga = np.arange(n_gtiles, dtype=np.int32)
+    for lo, hi in [(0, P), (10, 25), (25, 25), (0, 1), (39, 40)]:
+        m = (path >= lo) & (path < hi)
+        ref = fine_xla.composite_srcover_over(
+            jnp.asarray(np.where(m[:, None, None], src, 0.0)),
+            jnp.asarray(np.where(m[:, None], src[:, 3, :], 0.0)),
+            jnp.asarray(g), jnp.asarray(bg))
+        q = np.concatenate([ga * (P + 1) + lo, ga * (P + 1) + hi])
+        w = np.asarray(rank_sorted(skey, jnp.asarray(q)))
+        got = fine_composite_over(
+            jnp.asarray(src), jnp.asarray(bg),
+            (jnp.asarray(w[:n_gtiles]), jnp.asarray(w[n_gtiles:])),
+            n_gtiles, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-5)
 
 
 @pytest.mark.parametrize("ns", [8, 16])

@@ -1128,6 +1128,98 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
     return out[:n_gtiles]
 
 
+def _fine_kernel_over(lo_ref,         # scalar prefetch: (Gpad,) i32
+                      hi_ref,          # scalar prefetch: (Gpad,) i32
+                      src_hbm,         # HBM: (F, 4, 256) premultiplied src
+                      bg_ref,          # VMEM in: (FINE_TB, 4, 256) backdrop
+                      out_ref,         # VMEM out: (FINE_TB, 4, 256)
+                      src_buf, win_ref, sem):
+    """fine_composite_solid over an EXISTING per-tile backdrop — the
+    layered compositor's draws op. Identical ordered src-over walk; dst
+    starts from the bg block instead of a broadcast base color."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        win_ref[0] = -1
+
+    lov, hiv = _step_bounds(lo_ref, hi_ref, step)
+    lo = lo_ref[step * FINE_TB]
+    hi = hi_ref[step * FINE_TB + FINE_TB - 1]
+    dst = bg_ref[...].astype(jnp.float32)
+    c0 = lo // FINE_CHUNK
+    c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
+
+    def chunk_body(k, dst, c0=c0):
+        cidx = c0 + k
+        cstart = pl.multiple_of(cidx * FINE_CHUNK, FINE_CHUNK)
+
+        @pl.when(win_ref[0] != cidx)
+        def _():
+            cp = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(cstart, FINE_CHUNK)], src_buf, sem)
+            cp.start()
+            cp.wait()
+            win_ref[0] = cidx
+
+        o, sw = _chunk_masks(cstart, lov, hiv)
+        src = src_buf[...].astype(jnp.float32)        # (CHUNK, 4, NPX)
+        alpha = src[:, 3, :]
+        logm = jnp.maximum(jnp.log(jnp.maximum(1.0 - alpha, 0.0)),
+                           _LOG_FLOOR)
+        srcw = src.reshape(FINE_CHUNK, 4 * NPX)
+        return _composite_chunk(dst, o, sw, srcw, logm)
+
+    dst = jax.lax.fori_loop(0, c1 - c0, chunk_body, dst)
+    out_ref[...] = dst
+
+
+def fine_composite_over(src_sorted, bg_tiles, starts, n_gtiles,
+                        interpret=None):
+    """Ordered src-over of each tile's [lo, hi) fragment walk onto an
+    existing (>=G, 4, 256) backdrop (the layered draws op). ``starts``:
+    (G+1,) contiguous ranges or a clipped per-op (los, his) pair — per-op
+    clipping makes the whole layered composite O(total fragments) instead
+    of O(fragments x ops). bg_tiles rows past n_gtiles (stack padding)
+    pass through untouched by the walk but ARE recomposited as empty
+    walks; callers slice [:n_gtiles] anyway."""
+    interpret = interpret_default() if interpret is None else interpret
+    if src_sorted.shape[0] % FINE_CHUNK != 0:
+        pad = FINE_CHUNK - src_sorted.shape[0] % FINE_CHUNK
+        src_sorted = jnp.concatenate(
+            [src_sorted,
+             jnp.zeros((pad,) + src_sorted.shape[1:], src_sorted.dtype)])
+    los, his = _los_his(starts, n_gtiles)
+    gpad = los.shape[0]
+    if bg_tiles.shape[0] < gpad:
+        bg_tiles = jnp.concatenate(
+            [bg_tiles, jnp.zeros((gpad - bg_tiles.shape[0], 4, NPX),
+                                 bg_tiles.dtype)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(gpad // FINE_TB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # src rows stay in HBM
+            pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((FINE_CHUNK, 4, NPX), src_sorted.dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        _fine_kernel_over,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gpad, 4, NPX), jnp.float32),
+        interpret=interpret,
+    )(los, his, src_sorted, bg_tiles[:gpad])
+    return out[:n_gtiles]
+
+
 def _los_his(starts, n_gtiles):
     """Normalize (G+1,) contiguous starts or a (los, his) pair into
     FINE_TB-padded per-tile (los, his) arrays. Padded tiles get

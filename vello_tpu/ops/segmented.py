@@ -175,6 +175,32 @@ def lookup_sorted(keys: jnp.ndarray, queries: jnp.ndarray):
     return idx_c, found
 
 
+def rank_sorted(keys: jnp.ndarray, queries: jnp.ndarray):
+    """#keys strictly less than each query — the side='left' insertion
+    index — via the same 3-sort merge trick as lookup_sorted (vs
+    jnp.searchsorted's ~20 serialized gather rounds).
+
+    keys must be ascending, values in [0, 2**30); negative queries clip
+    to 0 (rank 0 for anything below the key range)."""
+    n = keys.shape[0]
+    q = queries.shape[0]
+    pos = jnp.arange(q, dtype=jnp.int32)
+    qc = jnp.clip(queries, 0, jnp.int32(2 ** 30 - 1))
+    q_s, pos_s = jax.lax.sort((qc, pos), num_keys=1)
+    # merge with queries FIRST at equal values => slot - #queries-before
+    # = #keys strictly below (equal queries land on consecutive slots, so
+    # each still subtracts its own arange position exactly)
+    packed = jnp.concatenate([keys.astype(jnp.int32) * 2 + 1, q_s * 2])
+    (m,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
+    isq = (m & 1) == 0
+    j = jnp.arange(n + q, dtype=jnp.int32)
+    qslot = jnp.where(isq, j, jnp.int32(2 ** 30))
+    (qslot_s,) = jax.lax.sort((qslot,), num_keys=1, is_stable=False)
+    rank_sq = qslot_s[:q] - pos
+    _, rank = jax.lax.sort((pos_s, rank_sq), num_keys=1)
+    return rank
+
+
 def scatter_sum_via_sort(vals: jnp.ndarray, ids: jnp.ndarray,
                          num_segments: int) -> jnp.ndarray:
     """Unsorted scatter-add replacement: sort (ids, vals), then segmented sum.

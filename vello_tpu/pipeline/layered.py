@@ -303,7 +303,42 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
     tpath_s, g_s = fr["tpath_s"], fr["g_s"]
     src_s, alpha_s, cov_s = fr["src_s"], fr["alpha_s"], fr["coverage_s"]
 
+    from ..ops.pallas_kernels import (FINE_CHUNK, fine_composite_over,
+                                      use_pallas)
+    pallas_walk = use_pallas()
+    if pallas_walk:
+        # Per-(op, tile) CLIPPED walk bounds, ONE batched rank query before
+        # the loop: fragments sort ascending by g*(P+1)+path, so op i's
+        # fragments at tile g are rows [rank(g,lo_i), rank(g,hi_i)) of the
+        # sorted stream. Each draws op then walks ONLY its own fragments —
+        # the whole layered composite is O(total fragments), not
+        # O(fragments x ops) like the masked full-stream composite below.
+        # (Clip paths inside a range composite src=0: exact no-ops.)
+        from ..ops.segmented import lookup_sorted, rank_sorted
+        P = int(bufs["paint_pack"].shape[0])
+        skey = g_s * (P + 1) + tpath_s
+        ga = jnp.arange(n_loc, dtype=jnp.int32)
+        nb = op_tab.shape[0]
+        q = (ga[None, :] * (P + 1)
+             + jnp.stack([op_tab[:, 3], op_tab[:, 4]], 1)[:, :, None])
+        w = rank_sorted(skey, q.reshape(-1)).reshape(nb, 2, n_loc)
+        wlo, whi = w[:, 0], w[:, 1]
+        # per-push clip coverage: the (tile, clip path) fragment is unique,
+        # so an O(G) row lookup replaces the O(F) masked segment sum
+        cq = jnp.where(op_tab[:, 5:6] >= 0,
+                       ga[None, :] * (P + 1) + op_tab[:, 5:6], -1)
+        cidx, cfound = lookup_sorted(skey, cq.reshape(-1))
+        cidx = cidx.reshape(nb, n_loc)
+        cfound = cfound.reshape(nb, n_loc)
+        fpad = (-src_s.shape[0]) % FINE_CHUNK
+        src_pad = src_s if fpad == 0 else jnp.concatenate(
+            [src_s, jnp.zeros((fpad,) + src_s.shape[1:], src_s.dtype)])
+
     def op_draws(i, stack, clips, calphas, sp):
+        if pallas_walk:
+            top = fine_composite_over(src_pad, stack[sp],
+                                      (wlo[i], whi[i]), n_loc)
+            return stack.at[sp].set(top), clips, calphas, sp
         lo, hi = op_tab[i, 3], op_tab[i, 4]
         m = (tpath_s >= lo) & (tpath_s < hi)
         alpha = jnp.where(m[:, None], alpha_s, 0.0)
@@ -313,9 +348,13 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
 
     def op_push(i, stack, clips, calphas, sp):
         cix = op_tab[i, 5]
-        sel = tpath_s == cix
-        covs = jnp.where(sel[:, None], cov_s, 0.0)
-        ccov = segment_sum_sorted(covs, g_s, n_loc)
+        if pallas_walk:
+            ccov = jnp.where(cfound[i][:, None],
+                             cov_s[cidx[i]], 0.0).astype(jnp.float32)
+        else:
+            sel = tpath_s == cix
+            covs = jnp.where(sel[:, None], cov_s, 0.0)
+            ccov = segment_sum_sorted(covs, g_s, n_loc)
         ccov = jnp.where(cix >= 0, ccov, 1.0)
         sp = sp + 1
         return (stack.at[sp].set(0.0), clips.at[sp].set(ccov),
