@@ -964,16 +964,16 @@ _LOG_FLOOR = -30000.0   # stands in for log(0): exp underflows to EXACTLY 0,
                         # matmul-safe, unlike -inf (0 * -inf = NaN).
 
 
-def _step_bounds(lo_ref, hi_ref, step):
+def _step_bounds(lo_ref, hi_ref, step, tb=FINE_TB):
     """(1, TB) i32 lo/hi bound vectors for this step's tiles, built from
     the SMEM scalars with nested lane selects (a (2, TB) VMEM input would
     need a 128-divisible lane block)."""
-    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, FINE_TB), 1)
-    lov = jnp.zeros((1, FINE_TB), jnp.int32)
-    hiv = jnp.zeros((1, FINE_TB), jnp.int32)
-    for t in range(FINE_TB):
-        lov = jnp.where(tcol == t, lo_ref[step * FINE_TB + t], lov)
-        hiv = jnp.where(tcol == t, hi_ref[step * FINE_TB + t], hiv)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
+    lov = jnp.zeros((1, tb), jnp.int32)
+    hiv = jnp.zeros((1, tb), jnp.int32)
+    for t in range(tb):
+        lov = jnp.where(tcol == t, lo_ref[step * tb + t], lov)
+        hiv = jnp.where(tcol == t, hi_ref[step * tb + t], hiv)
     return lov, hiv
 
 
@@ -1128,11 +1128,17 @@ def fine_composite_solid(src_sorted, base_premul, starts, n_gtiles,
     return out[:n_gtiles]
 
 
+OVER_TB = 32      # gtiles per step for the layered draws walk: each op's
+                  # walk visits few fragments per tile, so the per-step
+                  # floor (bg in + out DMA + bounds build) dominates — a
+                  # wider block quarters the step count (measured below)
+
+
 def _fine_kernel_over(lo_ref,         # scalar prefetch: (Gpad,) i32
                       hi_ref,          # scalar prefetch: (Gpad,) i32
                       src_hbm,         # HBM: (F, 4, 256) premultiplied src
-                      bg_ref,          # VMEM in: (FINE_TB, 4, 256) backdrop
-                      out_ref,         # VMEM out: (FINE_TB, 4, 256)
+                      bg_ref,          # VMEM in: (OVER_TB, 4, 256) backdrop
+                      out_ref,         # VMEM out: (OVER_TB, 4, 256)
                       src_buf, win_ref, sem):
     """fine_composite_solid over an EXISTING per-tile backdrop — the
     layered compositor's draws op. Identical ordered src-over walk; dst
@@ -1143,9 +1149,9 @@ def _fine_kernel_over(lo_ref,         # scalar prefetch: (Gpad,) i32
     def _():
         win_ref[0] = -1
 
-    lov, hiv = _step_bounds(lo_ref, hi_ref, step)
-    lo = lo_ref[step * FINE_TB]
-    hi = hi_ref[step * FINE_TB + FINE_TB - 1]
+    lov, hiv = _step_bounds(lo_ref, hi_ref, step, tb=OVER_TB)
+    lo = lo_ref[step * OVER_TB]
+    hi = hi_ref[step * OVER_TB + OVER_TB - 1]
     dst = bg_ref[...].astype(jnp.float32)
     c0 = lo // FINE_CHUNK
     c1 = (hi + FINE_CHUNK - 1) // FINE_CHUNK
@@ -1189,7 +1195,7 @@ def fine_composite_over(src_sorted, bg_tiles, starts, n_gtiles,
         src_sorted = jnp.concatenate(
             [src_sorted,
              jnp.zeros((pad,) + src_sorted.shape[1:], src_sorted.dtype)])
-    los, his = _los_his(starts, n_gtiles)
+    los, his = _los_his(starts, n_gtiles, tb=OVER_TB)
     gpad = los.shape[0]
     if bg_tiles.shape[0] < gpad:
         bg_tiles = jnp.concatenate(
@@ -1197,13 +1203,13 @@ def fine_composite_over(src_sorted, bg_tiles, starts, n_gtiles,
                                  bg_tiles.dtype)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(gpad // FINE_TB,),
+        grid=(gpad // OVER_TB,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # src rows stay in HBM
-            pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
+            pl.BlockSpec((OVER_TB, 4, NPX), lambda g, *_: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((FINE_TB, 4, NPX), lambda g, *_: (g, 0, 0),
+        out_specs=pl.BlockSpec((OVER_TB, 4, NPX), lambda g, *_: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((FINE_CHUNK, 4, NPX), src_sorted.dtype),
@@ -1220,9 +1226,9 @@ def fine_composite_over(src_sorted, bg_tiles, starts, n_gtiles,
     return out[:n_gtiles]
 
 
-def _los_his(starts, n_gtiles):
+def _los_his(starts, n_gtiles, tb=FINE_TB):
     """Normalize (G+1,) contiguous starts or a (los, his) pair into
-    FINE_TB-padded per-tile (los, his) arrays. Padded tiles get
+    tb-padded per-tile (los, his) arrays. Padded tiles get
     lo = hi = his[-1]: empty, AND monotone — the vectorized kernel reads
     the step's span as [los[first], his[last]], so a zero pad would
     truncate the last step's real tiles."""
@@ -1230,7 +1236,7 @@ def _los_his(starts, n_gtiles):
         los, his = starts
     else:
         los, his = starts[:-1], starts[1:]
-    gpad = (n_gtiles + FINE_TB - 1) // FINE_TB * FINE_TB
+    gpad = (n_gtiles + tb - 1) // tb * tb
     if los.shape[0] < gpad:
         pad = gpad - los.shape[0]
         end = his[-1]

@@ -55,6 +55,8 @@ class LayerPlanScanKey:
                               # the dynamic-parameter filter suite to the
                               # pop op (params are data, so filtered layer
                               # structures share this executable too)
+    n_draws: int = 0  # bucketed DRAWS-op count: sizes the op-partitioned
+                      # composite walk tables (Pallas path only)
 
 
 @dataclass(frozen=True)
@@ -243,12 +245,22 @@ def build_layer_plan(rs) -> Tuple[LayerPlanStatic, dict]:
     dynamic["op_tab"] = jnp.asarray(tab)
     dynamic["op_alpha"] = jnp.asarray(op_alpha)
     dynamic["op_filter"] = jnp.asarray(op_filter)
+    # draws-slot partition of path space: draws ranges are contiguous in
+    # draw order (run_lo monotone), so slot(path) = #(draws_los <= path)-1.
+    # Padded slots get a sentinel above every path index.
+    n_draws = max(d_i, 1)
+    nd = 4
+    while nd < n_draws:
+        nd *= 2
+    dlos = np.full(nd, 2 ** 29, dtype=np.int32)
+    dlos[:len(ranges)] = [r[0] for r in ranges]
+    dynamic["draws_los"] = jnp.asarray(dlos)
     db = 2
     while db < static.max_depth:
         db *= 2
     has_filter = any(op[3] is not None for op in ops)
     scan_key = LayerPlanScanKey(n_ops=nb, depth=db, n_clip_levels=k_lv,
-                                has_filter=has_filter)
+                                has_filter=has_filter, n_draws=nd)
     return static, dynamic, scan_key, has_filter
 
 
@@ -307,60 +319,94 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
                                       use_pallas)
     pallas_walk = use_pallas()
     if pallas_walk:
-        # Per-(op, tile) CLIPPED walk bounds, ONE batched rank query before
-        # the loop: fragments sort ascending by g*(P+1)+path, so op i's
-        # fragments at tile g are rows [rank(g,lo_i), rank(g,hi_i)) of the
-        # sorted stream. Each draws op then walks ONLY its own fragments —
-        # the whole layered composite is O(total fragments), not
-        # O(fragments x ops) like the masked full-stream composite below.
-        # (Clip paths inside a range composite src=0: exact no-ops.)
+        # OP-PARTITIONED composite stream. Draws ranges partition path
+        # space in draw order, so each fragment belongs to exactly one
+        # draws op: slot(path) = #(draws_los <= path) - 1. A stable
+        # re-sort by slot*(G+1)+tile groups every op's fragments into one
+        # contiguous, tile-ordered run (path order preserved within a
+        # tile by stability), so each draws op's Pallas walk streams ONLY
+        # its own fragments — total composite chunk traffic is O(F). The
+        # earlier per-op clipped bounds on the (tile, path)-sorted stream
+        # still spanned the WHOLE stream per op (each step's [lo, hi)
+        # union covers other ops' interleaved rows): measured 8.4 ms/op
+        # regardless of block size. Gap fragments (push clip paths sit
+        # between ranges) land in the previous slot but OUTSIDE its
+        # [lo, hi) path window -> sorted past the op's hi boundary?
+        # No: the boundary rank is (slot, tile)-granular, so gap
+        # fragments ARE walked — they composite src=0 (zeroed at paint):
+        # exact no-ops, like clip rows inside ranges.
         from ..ops.segmented import lookup_sorted, rank_sorted
-        P = int(bufs["paint_pack"].shape[0])
-        skey = g_s * (P + 1) + tpath_s
-        ga = jnp.arange(n_loc, dtype=jnp.int32)
-        nb = op_tab.shape[0]
-        q = (ga[None, :] * (P + 1)
-             + jnp.stack([op_tab[:, 3], op_tab[:, 4]], 1)[:, :, None])
-        w = rank_sorted(skey, q.reshape(-1)).reshape(nb, 2, n_loc)
-        wlo, whi = w[:, 0], w[:, 1]
-        # per-push clip coverage: the (tile, clip path) fragment is unique,
-        # so an O(G) row lookup replaces the O(F) masked segment sum
-        cq = jnp.where(op_tab[:, 5:6] >= 0,
-                       ga[None, :] * (P + 1) + op_tab[:, 5:6], -1)
-        cidx, cfound = lookup_sorted(skey, cq.reshape(-1))
-        cidx = cidx.reshape(nb, n_loc)
-        cfound = cfound.reshape(nb, n_loc)
-        fpad = (-src_s.shape[0]) % FINE_CHUNK
-        src_pad = src_s if fpad == 0 else jnp.concatenate(
-            [src_s, jnp.zeros((fpad,) + src_s.shape[1:], src_s.dtype)])
+        with jax.named_scope("s19_rank_bounds"):
+            P = int(bufs["paint_pack"].shape[0])
+            skey = g_s * (P + 1) + tpath_s
+            ga = jnp.arange(n_loc, dtype=jnp.int32)
+            nd = plan_dyn["draws_los"].shape[0]
+            # side='right' - 1: count(draws_los <= path) - 1
+            d_f = rank_sorted(plan_dyn["draws_los"], tpath_s + 1) - 1
+            d_f = jnp.clip(d_f, 0, nd - 1)
+            key2 = d_f * jnp.int32(n_loc + 1) + g_s
+            F = key2.shape[0]
+            key2_s, perm = jax.lax.sort(
+                (key2, jnp.arange(F, dtype=jnp.int32)), num_keys=1,
+                is_stable=True)   # stable: keeps path order within a tile
+            src2 = src_s[perm]    # one F-row gather (~4 KB rows)
+            fpad = (-F) % FINE_CHUNK
+            if fpad:
+                src2 = jnp.concatenate(
+                    [src2, jnp.zeros((fpad,) + src2.shape[1:],
+                                     src2.dtype)])
+            # per-(draws slot, tile) walk bounds in the partitioned order:
+            # [rank(o, g), rank(o, g + 1)). The g + 1 query lands BEFORE
+            # slot o's dump-key rows (key2 = o*(n_loc+1) + n_loc), which
+            # under stripe sharding carry other stripes' REAL coverage —
+            # they must stay outside every walk.
+            q2 = (jnp.arange(nd, dtype=jnp.int32)[:, None]
+                  * jnp.int32(n_loc + 1) + ga[None, :]).reshape(-1)
+            w2 = rank_sorted(key2_s, jnp.concatenate([q2, q2 + 1]))
+            wlo = w2[:nd * n_loc].reshape(nd, n_loc)
+            whi = w2[nd * n_loc:].reshape(nd, n_loc)
+            # per-push clip coverage: the (tile, clip path) fragment is
+            # unique, so an O(G) row lookup replaces the O(F) masked
+            # segment sum (original (tile, path) order)
+            nb = op_tab.shape[0]
+            cq = jnp.where(op_tab[:, 5:6] >= 0,
+                           ga[None, :] * (P + 1) + op_tab[:, 5:6], -1)
+            cidx, cfound = lookup_sorted(skey, cq.reshape(-1))
+            cidx = cidx.reshape(nb, n_loc)
+            cfound = cfound.reshape(nb, n_loc)
 
-    def op_draws(i, stack, clips, calphas, sp):
-        if pallas_walk:
-            top = fine_composite_over(src_pad, stack[sp],
-                                      (wlo[i], whi[i]), n_loc)
-            return stack.at[sp].set(top), clips, calphas, sp
-        lo, hi = op_tab[i, 3], op_tab[i, 4]
-        m = (tpath_s >= lo) & (tpath_s < hi)
-        alpha = jnp.where(m[:, None], alpha_s, 0.0)
-        src = jnp.where(m[:, None, None], src_s, 0.0)
-        top = fine_xla.composite_srcover_over(src, alpha, g_s, stack[sp])
-        return stack.at[sp].set(top), clips, calphas, sp
+    def op_draws(i, stack, clips, calphas, sp, di):
+        with jax.named_scope("s20_op_draws"):
+            if pallas_walk:
+                top = fine_composite_over(src2, stack[sp],
+                                          (wlo[di], whi[di]), n_loc)
+                return stack.at[sp].set(top), clips, calphas, sp, di + 1
+            lo, hi = op_tab[i, 3], op_tab[i, 4]
+            m = (tpath_s >= lo) & (tpath_s < hi)
+            alpha = jnp.where(m[:, None], alpha_s, 0.0)
+            src = jnp.where(m[:, None, None], src_s, 0.0)
+            top = fine_xla.composite_srcover_over(src, alpha, g_s,
+                                                  stack[sp])
+            return stack.at[sp].set(top), clips, calphas, sp, di + 1
 
-    def op_push(i, stack, clips, calphas, sp):
-        cix = op_tab[i, 5]
-        if pallas_walk:
-            ccov = jnp.where(cfound[i][:, None],
-                             cov_s[cidx[i]], 0.0).astype(jnp.float32)
-        else:
-            sel = tpath_s == cix
-            covs = jnp.where(sel[:, None], cov_s, 0.0)
-            ccov = segment_sum_sorted(covs, g_s, n_loc)
-        ccov = jnp.where(cix >= 0, ccov, 1.0)
-        sp = sp + 1
-        return (stack.at[sp].set(0.0), clips.at[sp].set(ccov),
-                calphas.at[sp].set(op_alpha[i]), sp)
+    def op_push(i, stack, clips, calphas, sp, di):
+        with jax.named_scope("s21_op_push"):
+            cix = op_tab[i, 5]
+            if pallas_walk:
+                ccov = jnp.where(cfound[i][:, None],
+                                 cov_s[cidx[i]], 0.0).astype(jnp.float32)
+            else:
+                sel = tpath_s == cix
+                covs = jnp.where(sel[:, None], cov_s, 0.0)
+                ccov = segment_sum_sorted(covs, g_s, n_loc)
+            ccov = jnp.where(cix >= 0, ccov, 1.0)
+            sp = sp + 1
+            return (stack.at[sp].set(0.0), clips.at[sp].set(ccov),
+                    calphas.at[sp].set(op_alpha[i]), sp, di)
 
-    def op_pop(i, stack, clips, calphas, sp):
+    def op_pop(i, stack, clips, calphas, sp, di):
+        scope = jax.named_scope("s22_op_pop")
+        scope.__enter__()
         mix = op_tab[i, 1]
         compose = op_tab[i, 2]
         top = stack[sp]
@@ -398,20 +444,22 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
         res = jnp.where(mix == 127, lum,
                         jnp.where(mix == 126, amask, normal))
         res = jnp.where(mix < 0, parent, res)   # discarded layer
-        return stack.at[sp - 1].set(res), clips, calphas, sp - 1
+        out = stack.at[sp - 1].set(res), clips, calphas, sp - 1, di
+        scope.__exit__(None, None, None)
+        return out
 
-    def op_nop(i, stack, clips, calphas, sp):
-        return stack, clips, calphas, sp
+    def op_nop(i, stack, clips, calphas, sp, di):
+        return stack, clips, calphas, sp, di
 
     def body(i, state):
-        stack, clips, calphas, sp = state
+        stack, clips, calphas, sp, di = state
         kind = jnp.clip(op_tab[i, 0], 0, 3)
         return jax.lax.switch(kind, [op_draws, op_push, op_pop, op_nop],
-                              i, stack, clips, calphas, sp)
+                              i, stack, clips, calphas, sp, di)
 
-    stack, _, _, _ = jax.lax.fori_loop(
+    stack, _, _, _, _ = jax.lax.fori_loop(
         0, op_tab.shape[0], body,
-        (stack, clips, calphas, jnp.int32(0)))
+        (stack, clips, calphas, jnp.int32(0), jnp.int32(0)))
     tiles = stack[0]
     img = _tiles_to_image(tiles, static, fr["ht_local"], stripe is None)
     return img, fr["overflow"]

@@ -557,8 +557,12 @@ def _tiles_to_image(tiles, static, ht_local, crop_h: bool,
     a = jnp.clip(tiles[:, 3:4], 0.0, 1.0)
     rgb = jnp.clip(tiles[:, :3], 0.0, a)
     if u8_out:
-        safe = jnp.where(a > 1e-6, a, 1.0)
-        rgb = jnp.clip(rgb / safe, 0.0, 1.0)
+        # zero rgb where alpha quantizes to u8 0: unpremultiplying by a
+        # float-noise ~1e-5 alpha amplifies coverage residue into
+        # backend-dependent rgb-at-alpha-0 artifacts (png.to_rgba8 rule)
+        vis = a >= (1.0 / 510.0)
+        safe = jnp.where(vis, a, 1.0)
+        rgb = jnp.where(vis, jnp.clip(rgb / safe, 0.0, 1.0), 0.0)
         tiles = jnp.concatenate([rgb, a], axis=1)
         tiles = (tiles * 255.0 + 0.5).astype(jnp.uint8)
     else:

@@ -19,8 +19,13 @@ def to_rgba8(img: np.ndarray) -> np.ndarray:
     if img.dtype == np.uint8:
         return img
     a = np.clip(img[..., 3:4], 0.0, 1.0)
-    safe = np.where(a > 1e-6, a, 1.0)
-    rgb = np.clip(img[..., :3] / safe, 0.0, 1.0)
+    # Pixels whose alpha quantizes to 0 are invisible; their unpremultiplied
+    # color is undefined (0/0) and dividing by a ~1e-5 float-noise alpha
+    # amplifies coverage residue into full-brightness rgb-at-alpha-0
+    # artifacts that differ per backend/summation order. Emit 0 there.
+    vis = a >= (1.0 / 510.0)
+    safe = np.where(vis, a, 1.0)
+    rgb = np.where(vis, np.clip(img[..., :3] / safe, 0.0, 1.0), 0.0)
     out = np.concatenate([rgb, a], axis=-1)
     return (out * 255.0 + 0.5).astype(np.uint8)
 
