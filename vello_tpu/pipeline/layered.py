@@ -429,21 +429,37 @@ def render_frame_layered_scan(bufs: dict, plan_dyn: dict,
         c = clips[sp][:, None, :]
         alpha = calphas[sp]
         ch_last = lambda x: x.transpose(0, 2, 1)
-        # luminance-mask pop (mix 127) and the general mix/compose pop,
-        # selected by data (both are few whole-frame ops)
-        fg = top * c * alpha
-        lum = ch_last(blend_ops.luminance_mask(
-            jnp, ch_last(parent), ch_last(fg)))
-        lum = jnp.where(c > 0.0, lum, parent)
-        amask = parent * jnp.clip(fg[:, 3:4, :], 0.0, 1.0)
-        amask = jnp.where(c > 0.0, amask, parent)
-        blended = ch_last(blend_ops.blend_mix_compose_dyn(
-            ch_last(parent), ch_last(top * alpha),
-            jnp.where(mix == 128, 0, mix), compose))
-        normal = parent * (1.0 - c) + blended * c
-        res = jnp.where(mix == 127, lum,
-                        jnp.where(mix == 126, amask, normal))
-        res = jnp.where(mix < 0, parent, res)   # discarded layer
+
+        # Only the SELECTED pop kind runs (lax.switch): computing the
+        # luminance / alpha-mask / mix-compose results unconditionally and
+        # where-selecting cost 3 whole-frame passes per pop (~2.6 ms/pop
+        # of the 24-pop layered bench frame).
+        def pop_normal(parent, top, c, alpha, mix, compose):
+            blended = ch_last(blend_ops.blend_mix_compose_dyn(
+                ch_last(parent), ch_last(top * alpha),
+                jnp.where(mix == 128, 0, mix), compose))
+            return parent * (1.0 - c) + blended * c
+
+        def pop_lum(parent, top, c, alpha, mix, compose):
+            fg = top * c * alpha
+            lum = ch_last(blend_ops.luminance_mask(
+                jnp, ch_last(parent), ch_last(fg)))
+            return jnp.where(c > 0.0, lum, parent)
+
+        def pop_amask(parent, top, c, alpha, mix, compose):
+            fg = top * c * alpha
+            amask = parent * jnp.clip(fg[:, 3:4, :], 0.0, 1.0)
+            return jnp.where(c > 0.0, amask, parent)
+
+        def pop_discard(parent, top, c, alpha, mix, compose):
+            return parent
+
+        cat = jnp.where(mix < 0, 3,
+                        jnp.where(mix == 127, 1,
+                                  jnp.where(mix == 126, 2, 0)))
+        res = jax.lax.switch(
+            cat, [pop_normal, pop_lum, pop_amask, pop_discard],
+            parent, top, c, alpha, mix, compose)
         out = stack.at[sp - 1].set(res), clips, calphas, sp - 1, di
         scope.__exit__(None, None, None)
         return out
