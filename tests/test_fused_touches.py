@@ -100,7 +100,7 @@ def test_fused_flatten_geometry_matches_xla():
     n_lines = BLK_F
     n_touch = BLK_X
     ff = flatten_ops.flatten_fused(
-        bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
+        bufs["seg_pts"], bufs["seg_kind"],
         bufs["seg_path"], bufs["n_segs"], n_lines,
         float(wt * TILE_W), float(size), tiling.rect_pack(rects),
         interpret=True)

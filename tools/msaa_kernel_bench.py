@@ -57,7 +57,7 @@ def main():
     def geom_prefix(bufs):
         rects = tiling.tile_alloc(bufs["path_rect"], WT_alloc, HT)
         ff = flatten_ops.flatten_fused(
-            bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
+            bufs["seg_pts"], bufs["seg_kind"],
             bufs["seg_path"], bufs["n_segs"], caps.n_lines, W, H,
             tiling.rect_pack(rects))
         touches = tiling.make_touches_from_linepack(

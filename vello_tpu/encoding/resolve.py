@@ -73,7 +73,8 @@ class ResolvedScene:
     # Pallas window bound holds — the tag streams above remain the
     # interchange format and drive the XLA fallback path)
     seg_pts: np.ndarray = None    # (S, 4, 2) f32 raw control points
-    seg_tmat: np.ndarray = None   # (S, 6) f32 active transform
+    # (seg_pts carries the TRANSFORM-FOLDED control points — no per-
+    # segment transform row is stored or uploaded; see resolve() tail)
     seg_path: np.ndarray = None   # (S,) i32 owning path
     seg_kind: np.ndarray = None   # (S,) i32 1=line 2=quad 3=cubic
     # device stroke expansion (0 everywhere = all fills)
@@ -664,6 +665,21 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         path_rect = np.concatenate(
             [path_rect, np.zeros((P - len(path_rect), 4), np.int32)])
 
+    # Fold the affine into the control points HOST-side: a (S, 6) f32
+    # transform row per segment was 30% of the scene upload (3.15 MB at
+    # mmark-30k through the tunneled backend) to redo on device what one
+    # vectorized numpy pass does here. Stroke half-widths pre-scale by
+    # sqrt(|det|) (uniform-scale pen; the same formula the device used).
+    _t = decoded["transform"]
+    _p = decoded["points"]
+    _sx = _p[..., 0] * _t[:, None, 0] + _p[..., 1] * _t[:, None, 2] \
+        + _t[:, None, 4]
+    _sy = _p[..., 0] * _t[:, None, 1] + _p[..., 1] * _t[:, None, 3] \
+        + _t[:, None, 5]
+    seg_pts_t = np.stack([_sx, _sy], axis=-1).astype(np.float32)
+    _det = _t[:, 0] * _t[:, 3] - _t[:, 1] * _t[:, 2]
+    seg_hw_t = (decoded["hw"] * np.sqrt(np.abs(_det))).astype(np.float32)
+
     return ResolvedScene(
         tags=tags, data=data, transforms=transforms, styles=styles,
         n_paths=n_paths, n_segs=encoding.n_path_segments,
@@ -672,11 +688,10 @@ def _resolve_impl(encoding: Encoding, params: RenderParams,
         paint_kind=paint_kind, fill_rule=fill_rule, color=color,
         grad_rec=grad_rec, paint_inv=paint_inv, image_rec=image_rec,
         blur_rec=blur_rec, path_kind=path_kind, path_rect=path_rect,
-        seg_pts=decoded["points"].astype(np.float32),
-        seg_tmat=decoded["transform"].astype(np.float32),
+        seg_pts=seg_pts_t,
         seg_path=decoded["path_ix"].astype(np.int32),
         seg_kind=decoded["kind"].astype(np.int32),
-        seg_hw=decoded["hw"].astype(np.float32),
+        seg_hw=seg_hw_t,
         seg_join=decoded["join"].astype(np.int32),
         styles_hw=styles_hw.astype(np.float32),
         has_stroke=has_stroke,

@@ -105,7 +105,6 @@ def pack_buffers(rs: ResolvedScene, caps: Capacities,
         # compacted segment arrays for the fused flatten (the tag streams
         # drive the XLA fallback; real segments are contiguous here)
         "seg_pts": _pad(rs.seg_pts, caps.n_segs),
-        "seg_tmat": _pad(rs.seg_tmat, caps.n_segs),
         "seg_path": _pad(rs.seg_path, caps.n_segs, fill=2 ** 24),
         "seg_kind": _pad(rs.seg_kind, caps.n_segs),
         "n_segs": np.asarray(min(len(rs.seg_kind), caps.n_segs),

@@ -202,27 +202,24 @@ def stroke_mini_counts(cub, hw_dev, tol=FLATTEN_TOL,
                     max_lines).astype(jnp.int32)
 
 
-def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
+def flatten_fused(seg_pts, seg_kind, seg_path, n_segs,
                   n_lines_cap: int, width: float, height: float, rpack,
                   seg_hw=None, seg_join=None, interpret: bool = None,
                   max_lines: int = MAX_LINES_PER_SEG):
     """Fused Pallas flatten over host-compacted segment arrays.
 
-    Transform + Wang counts run at segment scale in XLA; the kernel does the
-    expansion, cubic eval, viewport trim/clamp, edge-vertical detection and
-    DDA touch counts in VMEM (see pallas_kernels._flatten_kernel). Returns
+    seg_pts arrives TRANSFORM-FOLDED (resolve applies the affine host-
+    side; a per-segment (6,) f32 transform row was 30% of the scene
+    upload) and seg_hw pre-scaled by sqrt(|det|). Wang counts run at
+    segment scale in XLA; the kernel does the expansion, cubic eval,
+    viewport trim/clamp, edge-vertical detection and DDA touch counts in
+    VMEM (see pallas_kernels._flatten_kernel). Returns
     {"linepack" (16, L), "total_lines", "overflow"}."""
     from .pallas_kernels import (BLK_F, WIN_F, flatten_pallas,
                                  interpret_default)
     interpret = interpret_default() if interpret is None else interpret
 
-    t = seg_tmat
-    x = (seg_pts[..., 0] * t[:, None, 0] + seg_pts[..., 1] * t[:, None, 2]
-         + t[:, None, 4])
-    y = (seg_pts[..., 0] * t[:, None, 1] + seg_pts[..., 1] * t[:, None, 3]
-         + t[:, None, 5])
-    tp = jnp.stack([x, y], axis=-1)
-    cub = elevate_to_cubic(tp, seg_kind)
+    cub = elevate_to_cubic(seg_pts, seg_kind)
     counts = wang_counts(cub, seg_kind, max_lines=max_lines)
     s = cub.shape[0]
     has_stroke = seg_hw is not None
@@ -231,8 +228,7 @@ def flatten_fused(seg_pts, seg_tmat, seg_kind, seg_path, n_segs,
         # centerline mini (offset quad + bevel triangle); the join normal
         # is the NEXT segment's first-chord normal, computed here at
         # segment scale so the kernel's corner matches the next quad's.
-        det = t[:, 0] * t[:, 3] - t[:, 1] * t[:, 2]
-        hw_dev = seg_hw * jnp.sqrt(jnp.abs(det))
+        hw_dev = seg_hw
         is_stroke = hw_dev > 0.0
         m = stroke_mini_counts(cub, hw_dev, max_lines=max_lines)
         m = jnp.where(is_stroke, m, 0)

@@ -214,7 +214,7 @@ def prepare_fragments(bufs: dict, static: PipelineStatic, stripe=None,
         # touches, no expansion sorts and no per-element row gathers.
         with jax.named_scope("s02_flatten"):
             ff = flatten_ops.flatten_fused(
-                bufs["seg_pts"], bufs["seg_tmat"], bufs["seg_kind"],
+                bufs["seg_pts"], bufs["seg_kind"],
                 bufs["seg_path"], bufs["n_segs"], caps.n_lines, W, H,
                 tiling.rect_pack(rects),
                 seg_hw=bufs.get("seg_hw") if static.has_stroke else None,
